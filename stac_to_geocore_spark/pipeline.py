@@ -1,0 +1,89 @@
+"""The flagship north-star pipeline: H3 encode + PIP join + tile assignment.
+
+BASELINE.json metric: "end-to-end images/sec (H3 encode + PIP join + tile
+assignment) on synthetic image+caption table". One declarative plan:
+
+  images (image_id, bytes, w, h, fmt, caption, phash, lon, lat)
+    -> h3_r{res} + cell_p5 (Arrow pandas UDF, numpy kernel)
+    -> s2_l{lvl}           (Arrow pandas UDF)
+    -> tile z/x/y          (pure JVM column math, whole-stage codegen)
+    -> cell-bucket join against broadcast polygon covers at res 5 + exact
+       bbox refine (filter-refine PIP; zero shuffle on the images side)
+    -> assignments (image_id, poly_id, lon, lat, h3, s2, tile_x/y, cell_p5)
+
+Why cover at res 5 while encoding at res 7: collection polygons span
+degrees, so res-5 covers stay a few hundred cells each (broadcastable at any
+polygon count that fits a dim table), while the res-7/s2/tile columns are
+the per-image output payload. cell_p5 doubles as the join key AND the
+lineage/bucketing partition key, so the whole pipeline is scan -> map ->
+broadcast-join -> filter: no shuffle of the 10^12-row side at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stac_to_geocore_spark.cells.h3x import h3_encode
+from stac_to_geocore_spark.cells.s2 import s2_encode
+from stac_to_geocore_spark.cells.tiles import tile_x_expr, tile_y_expr
+from stac_to_geocore_spark.spatial.cover import covers_df
+
+COVER_RES = 5
+
+
+def encode_stage(images: DataFrame, res: int = 7, s2_level: int = 12, zoom: int = 12) -> DataFrame:
+    """Cell/tile encoding: one projection, no shuffle."""
+    return images.select(
+        "image_id",
+        "lon",
+        "lat",
+        h3_encode(F.col("lat"), F.col("lon"), res).alias(f"h3_r{res}"),
+        h3_encode(F.col("lat"), F.col("lon"), COVER_RES).alias("cell_p5"),
+        s2_encode(F.col("lat"), F.col("lon"), s2_level).alias(f"s2_l{s2_level}"),
+        tile_x_expr(F.col("lon"), zoom).alias(f"tile_z{zoom}_x"),
+        tile_y_expr(F.col("lat"), zoom).alias(f"tile_z{zoom}_y"),
+    )
+
+
+def flagship(
+    images: DataFrame,
+    polygons: DataFrame,
+    res: int = 7,
+    s2_level: int = 12,
+    zoom: int = 12,
+    broadcast_covers: bool = True,
+    salt_factor: int = 0,
+) -> DataFrame:
+    """encode -> PIP assign (broadcast cell join + refine) -> assignments.
+
+    salt_factor > 0 switches to the salted shuffle-join path (for cover
+    sides too large to broadcast with heavy cell skew).
+    """
+    enc = encode_stage(images, res, s2_level, zoom)
+    covers = covers_df(polygons, fixed_res=COVER_RES).withColumnRenamed("cell", "cell_p5")
+    if broadcast_covers:
+        covers = F.broadcast(covers)
+    if salt_factor > 0:
+        enc = enc.withColumn("salt", F.pmod(F.xxhash64("image_id"), F.lit(salt_factor)))
+        covers = covers.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))))
+        joined = enc.join(covers, ["cell_p5", "salt"], "inner")
+    else:
+        joined = enc.join(covers, "cell_p5", "inner")
+    return joined.filter(
+        F.col("fully_inside")
+        | (
+            (F.col("lon") >= F.col("west")) & (F.col("lon") <= F.col("east"))
+            & (F.col("lat") >= F.col("south")) & (F.col("lat") <= F.col("north"))
+        )
+    ).select(
+        "image_id",
+        "poly_id",
+        "lon",
+        "lat",
+        f"h3_r{res}",
+        "cell_p5",
+        f"s2_l{s2_level}",
+        f"tile_z{zoom}_x",
+        f"tile_z{zoom}_y",
+    )

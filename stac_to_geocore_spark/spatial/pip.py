@@ -1,0 +1,116 @@
+"""Cell-bucketed point-in-polygon join (filter + refine).
+
+The distributed analogue of the reference's only join — the broadcast
+dict-probe at stac_to_geocore.py:553-566 / :589-595 — generalized to spatial
+containment per BASELINE.json ("cell-bucketed broadcast or sort-merge
+spatial joins for point-in-polygon assignment of images to GeoCore
+collection polygons").
+
+Plan shape (all pyspark.sql; Catalyst/AQE pick physical operators):
+
+  polygons --covers_df--> (poly_id, res, cell, fully_inside, bbox)   [K cells/poly]
+  points   --h3_encode--> (point_id, lon, lat, cell@res)             [per used res]
+  equi-join on cell      broadcast when cover side is small, else
+                         shuffle hash/sort-merge with optional salting
+  refine                 fully_inside OR exact bbox predicate (column math)
+
+Scale notes (the 100 TB story):
+- The per-res passes are scan+filter+join; the points scan is pruned to
+  (point_id, lon, lat) so parquet column pruning does the heavy lifting.
+- Cover side is polygons x <=max_cells rows — for realistic polygon counts
+  it broadcasts, so the points table never shuffles at all.
+- When the cover side is too big to broadcast, hot cells (coastal/urban
+  skew) are salted: points get cell#salt from a seeded hash of point_id,
+  the cover side explodes x salt_factor. AQE skewJoin stays on as backstop.
+- Refinement is pure JVM column math (no Python) because footprints are
+  bboxes; `refine_ring` offers exact vectorized ray-casting for general
+  polygon rings via a pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from stac_to_geocore_spark.cells.h3x import h3_encode
+from stac_to_geocore_spark.spatial.cover import covers_df
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    res_min: int = 5,
+    res_max: int = 9,
+    max_cells: int = 2048,
+    fixed_res: int | None = None,
+    broadcast_covers: bool | None = None,
+    salt_factor: int = 0,
+) -> DataFrame:
+    """Assign each point to every containing polygon.
+
+    points:   (point_id, lon, lat, ...)
+    polygons: (poly_id, west, south, east, north)
+    returns   (point_id, poly_id, lon, lat)
+
+    broadcast_covers: True forces broadcast, False forces shuffle join,
+    None lets Catalyst/AQE decide from size stats.
+    salt_factor > 0 salts the join key (use for skewed cells when the cover
+    side must shuffle).
+    """
+    covers = covers_df(polygons, res_min, res_max, max_cells, fixed_res)
+    if broadcast_covers is True:
+        covers = F.broadcast(covers)
+    # cache-worthy: used once per distinct res
+    res_rows = [r.res for r in covers.select("res").distinct().collect()]
+
+    pts = points.select(point_id, lon, lat)
+    out = None
+    for res in sorted(res_rows):
+        cov_r = covers.filter(F.col("res") == res)
+        pts_r = pts.withColumn("cell", h3_encode(F.col(lat), F.col(lon), res))
+        if salt_factor > 0:
+            salt = F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt_factor))
+            pts_r = pts_r.withColumn("salt", salt)
+            cov_r = cov_r.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))))
+            joined = pts_r.join(cov_r, ["cell", "salt"], "inner")
+        else:
+            joined = pts_r.join(cov_r, "cell", "inner")
+        refined = joined.filter(
+            F.col("fully_inside")
+            | (
+                (F.col(lon) >= F.col("west")) & (F.col(lon) <= F.col("east"))
+                & (F.col(lat) >= F.col("south")) & (F.col(lat) <= F.col("north"))
+            )
+        ).select(point_id, "poly_id", lon, lat)
+        out = refined if out is None else out.unionByName(refined)
+    if out is None:  # no polygons
+        return points.select(point_id, lon, lat).withColumn("poly_id", F.lit(None).cast("string")).filter(F.lit(False)).select(point_id, "poly_id", lon, lat)
+    return out
+
+
+def refine_ring(lon: Column, lat: Column, ring_lon: Column, ring_lat: Column) -> Column:
+    """Exact point-in-polygon for general rings (arrays of coords): vectorized
+    even-odd ray casting in an Arrow-batched pandas UDF. Used instead of the
+    bbox predicate when polygons are true rings, on boundary cells only."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BooleanType())
+    def _pip(px: pd.Series, py: pd.Series, rx: pd.Series, ry: pd.Series) -> pd.Series:
+        out = np.zeros(len(px), dtype=bool)
+        for k in range(len(px)):
+            xs = np.asarray(rx.iloc[k], dtype=np.float64)
+            ys = np.asarray(ry.iloc[k], dtype=np.float64)
+            x, y = px.iloc[k], py.iloc[k]
+            x1, y1 = xs, ys
+            x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+            crosses = ((y1 > y) != (y2 > y)) & (x < (x2 - x1) * (y - y1) / (y2 - y1) + x1)
+            out[k] = crosses.sum() % 2 == 1
+        return pd.Series(out)
+
+    return _pip(lon, lat, ring_lon, ring_lat)
