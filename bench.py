@@ -1,0 +1,95 @@
+"""Per-round bench harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+
+The flagship stage (H3 encode + PIP join + tile assignment — BASELINE.json's
+metric) runs over a synthetic images table sized ~10x lineitem's row count
+for the chosen sf, generated distributed (counter-based, no driver
+materialization) with bytes_mode='none' so we measure the engine, not the
+fixture generator. Full execution is forced with the noop sink (whole plan
+runs, nothing collected).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from stac_to_geocore_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(16, 2 * int(cpus)))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from stac_to_geocore_spark.fixtures import images_df, polygons_df
+    from stac_to_geocore_spark.pipeline import flagship
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: H3 encode + PIP join + tile assign (images/sec metric) ---
+    try:
+        n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "0")) or {
+            "0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000,
+        }.get(sf, 2_000_000)
+    except ValueError:
+        n_images = 2_000_000
+    images = images_df(spark, n_images, bytes_mode="none")
+    polys = polygons_df(spark, 64)
+    t0 = time.monotonic()
+    _force(flagship(images, polys))
+    flagship_sec = time.monotonic() - t0
+    timings["flagship_pipeline"] = round(flagship_sec, 3)
+    images_per_sec = round(n_images / flagship_sec, 1)
+
+    # --- headline relational / text / spatial queries on the sf tables ---
+    bench_queries = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "top_customers_window", "events_hourly", "events_sessions",
+        "tile_assign", "pip_assign", "knn_ring",
+        "dedup_exact", "doc_stats", "stopword_score", "ann_topk",
+    ]
+    qmap = entrymod.queries()
+    for name in bench_queries:
+        if name not in qmap:
+            continue
+        t0 = time.monotonic()
+        try:
+            _force(qmap[name](spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the bench line intact
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (flagship H3+PIP+tile pipeline + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "images_per_sec": images_per_sec,
+        "n_images": n_images,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -357,8 +357,8 @@ def stac_items_fixture(n: int = 240, seed: int = DEFAULT_SEED) -> list[dict]:
                    "august", "september", "october", "november", "december"]
     for i in range(n):
         coll = colls[i % len(colls)]
-        if i % len(colls) == 1:  # monthly-vegetation: id ends with month token (:607)
-            item_id = f"{coll}-{years[i]}-{month_names[months[i] - 1]}"
+        if i % len(colls) == 1:  # monthly-vegetation: id ENDS with month token (:607)
+            item_id = f"{coll}-{i:05d}-{years[i]}-{month_names[months[i] - 1]}"
         else:
             item_id = f"{coll}-{years[i]}-{i:05d}"
         if i % 17 == 0:
@@ -380,15 +380,19 @@ def stac_items_fixture(n: int = 240, seed: int = DEFAULT_SEED) -> list[dict]:
             assets = {
                 "data": {"href": f"https://example.ca/{item_id}.tif", "type": "image/tiff; application=geotiff",
                          "title": "COG/COG-fr", "roles": ["data"]},
+                # no 'title' key: exercises the 'Unknown/Inconnu' default
+                # (ref :352; an explicit null title crashes the reference)
                 "meta": {"href": f"https://example.ca/{item_id}.json", "type": "application/json",
-                         "title": None, "roles": ["metadata"]},
+                         "roles": ["metadata"]},
             }
         props = {
             "datetime": f"{years[i]}-{months[i]:02d}-15T12:00:00Z",
-            "created": f"{years[i]}-{months[i]:02d}-01T00:00:00Z" if i % 5 != 2 else None,  # gates date struct (:626)
             "updated": f"{years[i]}-{months[i]:02d}-02T00:00:00Z",
-            "description": f"Scene {i} description/Description de la scene {i}" if i % 4 else None,
         }
+        if i % 5 != 2:  # 'created' key ABSENT (not null) gates the date struct (:626)
+            props["created"] = f"{years[i]}-{months[i]:02d}-01T00:00:00Z"
+        if i % 4:
+            props["description"] = f"Scene {i} description/Description de la scene {i}"
         items.append(
             {"id": item_id, "bbox": [w, s, e, nn], "links": links, "assets": assets,
              "properties": props, "collection": coll_ref}
@@ -397,18 +401,21 @@ def stac_items_fixture(n: int = 240, seed: int = DEFAULT_SEED) -> list[dict]:
 
 
 def stac_root_fixture() -> dict:
+    # NB: every root link carries a non-null title — the reference's root
+    # link dispatch evaluates 'Collection - ' + title eagerly for EVERY link
+    # (stac_to_geocore.py:215), so any null-title root link crashes it.
     return {
         "id": "CCMEO Datacube",  # space -> '-' normalization (app.py:74-75)
         "description": "Datacube root catalog/Catalogue racine du cube de donnees",
         "links": [
             {"href": API_ROOT, "rel": "self", "title": "Self"},
-            {"href": API_ROOT, "rel": "root", "title": None},
+            {"href": API_ROOT, "rel": "root", "title": "Root"},
             {"href": f"{API_ROOT}/collections/landcover", "rel": "child", "title": "Land Cover/Couverture"},
-            {"href": f"{API_ROOT}/collections", "rel": "data", "title": None},
+            {"href": f"{API_ROOT}/collections", "rel": "data", "title": "Data"},
             {"href": f"{API_ROOT}/api", "rel": "service-desc", "title": "API"},
             {"href": f"{API_ROOT}/api.html", "rel": "service-doc", "title": "Docs"},
-            {"href": f"{API_ROOT}/conformance", "rel": "conformance", "title": None},
-            {"href": f"{API_ROOT}/search", "rel": "search", "title": None},
+            {"href": f"{API_ROOT}/conformance", "rel": "conformance", "title": "Conformance"},
+            {"href": f"{API_ROOT}/search", "rel": "search", "title": "Search"},
         ],
     }
 
