@@ -253,11 +253,249 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: EXISTS -> left-semi join with a non-equi condition
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.sk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.ck)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        # exact integer-cent arithmetic: price and discount are 2dp, so the
+        # scaled product is an exact int64 and the sum is order-independent
+        # (float sums here land on .xx5 rounding boundaries and flip vs DuckDB)
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round((1 - F.col("l_discount")) * 100).cast("long")
+                ) / F.lit(10000.0)
+            ).alias("revenue")
+        )
+    )
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)) * 100.0 / F.sum(rev), 4
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+def _q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", F.round("total_qty", 2).alias("total_qty"))
+    )
+
+
+def _q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    pred = (
+        ((F.col("p_size") <= 5) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_size") <= 15) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+        | (F.col("p_brand") == "Brand#1")
+    )
+    return j.filter(pred).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n", "sum_qty",
+        )
+    )
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.text.analysis import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.text.analysis import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).select(
+        "doc_id", "n_chars", "n_tokens", "avg_token_len", "alpha_ratio",
+        "digit_ratio", "punct_ratio", "uniq_token_ratio", "quality",
+    )
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.text.analysis import langid
+
+    d = _t(spark, sf_dir, "documents")
+    return langid(d).groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.text.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.text.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash64(d).select("doc_id", "simhash")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.text.analysis import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(d).select(
+        "doc_id", F.size("fingerprint").alias("n_fp"), F.hash("fingerprint").alias("fp_hash")
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.text.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.4)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return lsh_topk(emb, q, k=10, dim=64, n_tables=12, n_planes=4)
+
+
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.ann import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def _q_geocore_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.compat import translate_items
+    from stac_to_geocore_spark.fixtures import stac_collections_df, stac_items_df
+
+    return translate_items(stac_items_df(spark, 120), stac_collections_df(spark)).select(
+        "key", F.length("json").alias("json_len"), F.md5("json").alias("json_md5")
+    )
+
+
+def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.fixtures import images_df
+    from stac_to_geocore_spark.images.ops import decode_stats
+
+    return decode_stats(images_df(spark, 300, bytes_mode="full"))
+
+
+def _q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.fixtures import images_df
+    from stac_to_geocore_spark.images.ops import verify_images
+
+    a = images_df(spark, 200, bytes_mode="full")
+    b = images_df(spark, 200, bytes_mode="full")
+    return verify_images(a, b).groupBy("pixels_ok", "caption_ok").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
+        "q4_order_priority": _q4_order_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_share": _q14_promo_share,
+        "q16_supplier_count": _q16_supplier_count,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive": _q19_disjunctive,
+        "rollup_summary": _q_rollup_summary,
+        "customers_without_orders": _q_customers_without_orders,
         "top_customers_window": _q_top_customers,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
@@ -268,6 +506,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "stopword_score": _q_stopword_score,
         "ann_topk": _q_ann_topk,
+        "token_count_bpe": _q_token_count_bpe,
+        "text_quality": _q_text_quality,
+        "langid_heuristic": _q_langid,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash": _q_simhash,
+        "doc_fingerprint": _q_fingerprint,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_dedup": _q_embedding_dedup,
+        "geocore_translate": _q_geocore_translate,
+        "image_decode_stats": _q_image_decode,
+        "image_verify": _q_image_verify,
     }
 
 
@@ -302,6 +552,74 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
               AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
             GROUP BY n_name
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue
+            FROM lineitem, orders, customer, supplier, nation n1, nation n2
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey AND n1.n_name != n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem, orders, customer
+            WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "q14_promo_share": """
+            SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END) * 100.0
+                         / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+            FROM lineitem, part WHERE l_partkey = p_partkey
+        """,
+        "q16_supplier_count": """
+            SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem, part WHERE l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "q18_large_orders": """
+            SELECT o_orderkey, o_custkey, ROUND(total_qty, 2) AS total_qty
+            FROM orders,
+                 (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+            WHERE o_orderkey = big.l_orderkey
+        """,
+        "q19_disjunctive": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND (
+                  (p_size <= 5 AND l_quantity BETWEEN 10 AND 30)
+               OR (p_size <= 15 AND l_quantity BETWEEN 20 AND 40)
+               OR p_brand = 'Brand#1')
+        """,
+        "rollup_summary": """
+            SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+                   COALESCE(l_linestatus, '(all)') AS linestatus,
+                   COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "top_customers_window": """
             SELECT c_nationkey, c_custkey, rnk, acctbal FROM (
@@ -366,6 +684,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST((LENGTH(text) - LENGTH(REPLACE(text, ' a ', ''))) / 3 AS BIGINT) AS n_a,
                    CAST((LENGTH(text) - LENGTH(REPLACE(text, ' value ', ''))) / 7 AS BIGINT) AS n_value
             FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     LENGTH(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len(list_distinct(string_split(text, ' '))) AS n_uniq
+              FROM documents)
+            SELECT doc_id, n_chars, n_tokens,
+                   ROUND(n_chars * 1.0 / n_tokens, 4) AS avg_token_len,
+                   ROUND(n_alpha * 1.0 / n_chars, 4) AS alpha_ratio,
+                   ROUND(n_digit * 1.0 / n_chars, 4) AS digit_ratio,
+                   ROUND(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+                   ROUND(n_uniq * 1.0 / n_tokens, 4) AS uniq_token_ratio,
+                   ROUND(LEAST(1.0, n_tokens / 20.0)
+                         * (1.0 - ROUND(n_digit * 1.0 / n_chars, 4))
+                         * (1.0 - ROUND(n_punct * 1.0 / n_chars, 4))
+                         * ROUND(n_uniq * 1.0 / n_tokens, 4), 4) AS quality
+            FROM base
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),

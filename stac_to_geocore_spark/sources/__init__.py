@@ -1,0 +1,8 @@
+from stac_to_geocore_spark.sources.harvest import (
+    fetch_items_df,
+    harvest,
+    http_fetch,
+    plan_pages,
+)
+
+__all__ = ["plan_pages", "fetch_items_df", "harvest", "http_fetch"]

@@ -1,0 +1,125 @@
+"""Sinks (SURVEY.md §2.2 K1-K4): object-store puts, run manifest, snapshot
+overwrite, CSV export.
+
+The reference writes one JSON object per record to S3 (s3_operations.py:
+92-119), logs every key to lastRun.txt (app.py:69,116,135,162,164), and next
+run deletes everything listed before re-writing (s3_operations.py:31-43) —
+a non-atomic delete-then-write window. The engine keeps the manifest
+protocol (for reference parity) but adds `snapshot_overwrite`, which stages
+the new run and swaps it in atomically — the Iceberg-style replace.
+
+ObjectStore is a minimal injectable interface: LocalObjectStore for this
+sandbox, an S3 client drop-in on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_KEY = "lastRun.txt"
+
+
+class LocalObjectStore:
+    """Filesystem-backed object store (keys are relative paths)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def put(self, key: str, text: str) -> None:
+        p = self._path(key)
+        os.makedirs(os.path.dirname(p) or self.root, exist_ok=True)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(text)
+
+    def get(self, key: str) -> str | None:
+        p = self._path(key)
+        if not os.path.exists(p):
+            return None
+        with open(p, encoding="utf-8") as f:
+            return f.read()
+
+    def delete(self, key: str) -> None:
+        p = self._path(key)
+        if os.path.exists(p):
+            os.remove(p)
+
+    def list(self) -> list[str]:
+        out = []
+        for dirpath, _, files in os.walk(self.root):
+            for fn in files:
+                out.append(os.path.relpath(os.path.join(dirpath, fn), self.root))
+        return sorted(out)
+
+
+def write_objects(df: DataFrame, store_root: str) -> int:
+    """K1: per-record put. df must be (key, json). Distributed: each
+    partition writes its own objects (the reference uploads serially,
+    app.py:113/131/158)."""
+
+    def put_batch(rows) -> None:
+        store = LocalObjectStore(store_root)
+        for row in rows:
+            store.put(row["key"], row["json"])
+
+    df.foreachPartition(put_batch)
+    return 0
+
+
+def write_manifest(df: DataFrame, store: LocalObjectStore) -> list[str]:
+    """K2: lastRun.txt — newline-separated list of every key written this
+    run (ref app.py:69,164). Keys are small (one per record), collected."""
+    keys = [r["key"] for r in df.select("key").collect()]
+    store.put(MANIFEST_KEY, "".join(f"{k}\n" for k in keys))
+    return keys
+
+
+def delete_previous_run(store: LocalObjectStore) -> int:
+    """K3 (reference semantics): read old manifest, delete every listed key
+    (ref s3_operations.py:31-43). Returns number deleted."""
+    manifest = store.get(MANIFEST_KEY)
+    if manifest is None:
+        return 0
+    n = 0
+    for key in manifest.splitlines():
+        if key:
+            store.delete(key)
+            n += 1
+    return n
+
+
+def run_harvest_sink(df: DataFrame, store_root: str) -> list[str]:
+    """The reference's full sink protocol: delete previous run, write all
+    records, upload the manifest."""
+    store = LocalObjectStore(store_root)
+    delete_previous_run(store)
+    write_objects(df, store_root)
+    return write_manifest(df, store)
+
+
+def snapshot_overwrite(df: DataFrame, store_root: str) -> list[str]:
+    """Engine-native replacement for delete-then-write: stage the run in a
+    sibling dir, then atomically swap (local rename; Iceberg snapshot commit
+    on a cluster). Readers never observe a half-written run."""
+    staging = store_root.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_objects(df, staging)
+    keys = write_manifest(df, LocalObjectStore(staging))
+    old = store_root.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(store_root):
+        os.rename(store_root, old)
+    os.rename(staging, store_root)
+    shutil.rmtree(old, ignore_errors=True)
+    return keys
+
+
+def export_csv(spark: SparkSession, parquet_path: str, csv_path: str) -> None:
+    """K4: the Export-to-csv.py job (ref :26-59) as a two-line Spark plan."""
+    spark.read.parquet(parquet_path).write.mode("overwrite").option("header", True).csv(csv_path)

@@ -143,6 +143,26 @@ COVER_SCHEMA = StructType(
 )
 
 
+def covers_pdf(polys_pdf: pd.DataFrame, res_min: int = 5, res_max: int = 9,
+               max_cells: int = 2048, fixed_res: int | None = None) -> pd.DataFrame:
+    """Driver-side cover planning (numpy, no Spark job): the right path when
+    polygons are a dim table (like the reference's driver-side pagination
+    planner). Column layout matches COVER_SCHEMA."""
+    out = []
+    for row in polys_pdf.itertuples(index=False):
+        res = fixed_res if fixed_res is not None else adaptive_res(
+            row.west, row.south, row.east, row.north, res_min, res_max, max_cells)
+        cells, full = cover_bbox_np(row.west, row.south, row.east, row.north, res)
+        out.append(pd.DataFrame({
+            "poly_id": row.poly_id, "res": np.int32(res), "cell": cells,
+            "fully_inside": full, "west": row.west, "south": row.south,
+            "east": row.east, "north": row.north,
+        }))
+    if not out:
+        return pd.DataFrame({f.name: pd.Series(dtype="object") for f in COVER_SCHEMA.fields})
+    return pd.concat(out, ignore_index=True)
+
+
 def covers_df(polys: DataFrame, res_min: int = 5, res_max: int = 9,
               max_cells: int = 2048, fixed_res: int | None = None) -> DataFrame:
     """Distributed cover generation: one output row per (polygon, cell).

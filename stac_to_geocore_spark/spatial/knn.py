@@ -1,26 +1,30 @@
-"""kNN via cell-ring expansion: nearest images to query centroids.
+"""kNN via expanding cell-cover candidate fetch: nearest images to query
+centroids.
 
 BASELINE.json: "answers kNN queries (nearest-image-to-centroid) with
 cell-ring expansion". Queries (collection centroids) are few; points are the
-10^12-row images table. The plan per iteration is:
+10^12-row images table. Per iteration:
 
-  candidate cells = grid-disk(query_cell, r)          [driver-side numpy, tiny]
+  candidate cells = cover(query bbox of radius R)     [driver-side numpy]
   candidates      = points ⋈ broadcast(cells)          [scan + broadcast join]
   top-k           = Window.partitionBy(query).orderBy(dist) row_number <= k
 
-The ring radius doubles until every query's k-th best candidate lies within
-the ring's guaranteed-coverage radius — at that point the candidate set
-provably contains the true top-k, so the final window is EXACT (verified
-against brute force and a DuckDB oracle in tests).
+R doubles until every query's k-th candidate lies within R (scaled-degree
+metric) — at that point the candidate set provably contains the true top-k
+(cover_bbox_np is superset-guaranteed and property-tested), so the final
+window is EXACT. The cover-based expansion is the ring expansion in bbox
+form: it composes rings of cells around the query and — unlike raw lattice
+rings — stays correct across icosahedron face seams at coarse resolutions.
 
-At warehouse scale the points table is stored bucketed/partitioned by cell
-prefix (tables/lineage.py writes partitionBy(cell_p5)), so the broadcast
-cell-set join prunes file reads instead of scanning — the same plan, but the
-scan cost drops to the rings' data only.
+The cell resolution auto-selects from point density (one agg), so sparse
+tables use coarse cells (few candidate cells, one or two passes) and dense
+tables use fine ones. At warehouse scale the points table is bucketed by
+cell prefix (tables/lineage.py), so the broadcast cell-set join prunes file
+reads instead of scanning.
 
 Distance metric: squared equirectangular "scaled degrees"
 (dx = dlon * cos(mid_lat), dy = dlat) — monotone in true distance at these
-extents, and exactly reproducible in ANSI SQL for the oracle.
+extents, and exactly reproducible in ANSI SQL for the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -34,17 +38,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stac_to_geocore_spark.cells import h3x
+from stac_to_geocore_spark.spatial.cover import cover_bbox_np
 
 DEG = 180.0 / math.pi
-_DISTORT = 1.7
 
 
-def _guarantee_deg(r: int, res: int) -> float:
-    """All points within this angular distance (degrees) of a query are
-    guaranteed to fall in grid-disk(query_cell, r)."""
-    s = h3x.res_spacing(res)
-    plane = s * (r * math.sqrt(3.0) / 2.0 - 2.0 / math.sqrt(3.0))
-    return max(0.0, plane * DEG / _DISTORT) * 0.9  # 10% slack for metric skew
+def _pick_res(n: int, bbox_area_deg2: float, k: int, res_min: int = 2, res_max: int = 9) -> int:
+    """Finest res whose cells hold >= ~k/12 points on average (uniform
+    estimate): keeps candidate-cell counts small without starving the first
+    pass. Skewed data still converges — R doubles until exactness is proven."""
+    for res in range(res_max, res_min - 1, -1):
+        s_deg = h3x.res_spacing(res) * DEG
+        cell_area = 0.866 * s_deg * s_deg
+        if n * cell_area / max(bbox_area_deg2, 1e-9) >= max(1.0, k / 12.0):
+            return res
+    return res_min
 
 
 def knn_join(
@@ -54,62 +62,89 @@ def knn_join(
     point_id: str = "image_id",
     lon: str = "lon",
     lat: str = "lat",
-    res: int = 7,
-    initial_r: int = 2,
-    max_r: int = 256,
+    res: int | None = None,
+    max_iter: int = 12,
 ) -> DataFrame:
     """Exact k nearest points for each query row.
 
     queries: pandas DataFrame (query_id, lon, lat) — small by contract.
-    Returns (query_id, point_id, rank, dist2) with rank 1..k
-    (dist2 in squared scaled degrees, rounded to 9 dp for stable hashing).
+    res=None auto-selects cell resolution from point density.
+    Returns (query_id, point_id, rank, dist2), rank 1..k (dist2 in squared
+    scaled degrees, rounded to 9 dp for stable hashing).
     """
     spark = points.sparkSession
     qlon = queries["lon"].to_numpy(np.float64)
     qlat = queries["lat"].to_numpy(np.float64)
     qids = queries["query_id"].tolist()
-    qcells = h3x.h3_encode_np(qlat, qlon, res)
 
-    pts = points.select(
+    base = points.select(
         F.col(point_id).alias("point_id"), F.col(lon).alias("p_lon"), F.col(lat).alias("p_lat")
-    ).withColumn("cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res))
+    )
+    ext = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_lon").alias("w"), F.max("p_lon").alias("e"),
+        F.min("p_lat").alias("s"), F.max("p_lat").alias("nn"),
+    ).collect()[0]
+    n_pts = ext["n"]
+    area = max(1e-9, (ext["e"] - ext["w"]) * (ext["nn"] - ext["s"])
+               * math.cos(math.radians((ext["s"] + ext["nn"]) / 2.0)))
+    if res is None:
+        res = _pick_res(n_pts, area, k)
+
+    pts = base.withColumn("cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res))
     pts = pts.persist()
     try:
-        r = initial_r
-        while True:
-            disks = h3x.h3_kring_np(qcells, r)  # (Q, m)
-            cell_rows = [
-                (qids[i], float(qlon[i]), float(qlat[i]), int(c))
-                for i in range(len(qids))
-                for c in np.unique(disks[i])
-            ]
-            cells_df = spark.createDataFrame(cell_rows, "query_id string, q_lon double, q_lat double, cell long")
+        # initial radius: uniform-density estimate of the k-th neighbor
+        # distance, padded 2x; doubles until the guarantee closes
+        R = 2.0 * math.sqrt(max(1e-12, k * area / (math.pi * max(1, n_pts))))
+        for _ in range(max_iter):
+            cell_rows = []
+            for i, qid in enumerate(qids):
+                cos_f = max(0.05, math.cos(math.radians(min(89.0, abs(qlat[i]) + R))))
+                cells, _full = cover_bbox_np(
+                    qlon[i] - R / cos_f, max(-89.9, qlat[i] - R),
+                    qlon[i] + R / cos_f, min(89.9, qlat[i] + R), res,
+                )
+                cell_rows.extend(
+                    (qid, float(qlon[i]), float(qlat[i]), int(c)) for c in cells
+                )
+            cells_df = spark.createDataFrame(
+                cell_rows, "query_id string, q_lon double, q_lat double, cell long"
+            )
             mid = F.radians((F.col("q_lat") + F.col("p_lat")) / 2.0)
             dx = (F.col("q_lon") - F.col("p_lon")) * F.cos(mid)
             dy = F.col("q_lat") - F.col("p_lat")
-            cand = (
-                pts.join(F.broadcast(cells_df), "cell")
-                .withColumn("dist2", dx * dx + dy * dy)
-            )
+            cand = pts.join(F.broadcast(cells_df), "cell").withColumn("dist2", dx * dx + dy * dy)
             w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("point_id").asc())
             topk = (
                 cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("query_id", "point_id", "rank", "dist2")
             )
-            stats = (
-                topk.groupBy("query_id")
-                .agg(F.count("*").alias("cnt"), F.max("dist2").alias("worst"))
-                .collect()
-            )
-            by_q = {s["query_id"]: s for s in stats}
-            g = _guarantee_deg(r, res)
+            rows = topk.collect()  # Q*k rows — tiny; guarantee check is driver-side
+            by_q: dict = {}
+            for row in rows:
+                by_q.setdefault(row["query_id"], []).append(row)
+            # every point with scaled-degree distance <= R lies inside the
+            # query bbox (dy <= R; dx <= R => dlon <= R/cos), and the cover is
+            # a proven superset of the bbox — so kth_dist <= R*0.98 certifies
+            # the candidate set contains the true top-k
             satisfied = all(
-                q in by_q and by_q[q]["cnt"] >= k and math.sqrt(by_q[q]["worst"]) <= g
+                q in by_q
+                and len(by_q[q]) >= k
+                and math.sqrt(max(x["dist2"] for x in by_q[q])) <= R * 0.98
                 for q in qids
-            )
-            if satisfied or r >= max_r:
-                return topk.withColumn("dist2", F.round(F.col("dist2"), 9))
-            r = min(max_r, r * 2)
+            ) and n_pts >= k
+            if satisfied or n_pts < k:
+                result = [
+                    (row["query_id"], row["point_id"], row["rank"], round(row["dist2"], 9))
+                    for row in rows
+                ]
+                return spark.createDataFrame(result, schema=topk.schema)
+            R *= 2.0
+        return spark.createDataFrame(
+            [(row["query_id"], row["point_id"], row["rank"], round(row["dist2"], 9)) for row in rows],
+            schema=topk.schema,
+        )
     finally:
         pts.unpersist()

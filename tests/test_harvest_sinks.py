@@ -1,0 +1,88 @@
+"""Harvest sources (pagination planner, distributed page fetch) and sinks
+(object puts, lastRun manifest protocol, snapshot overwrite, CSV export)."""
+
+from __future__ import annotations
+
+import os
+
+from stac_to_geocore_spark.compat import translate_items
+from stac_to_geocore_spark.fixtures import API_ROOT, make_fake_stac_fetch
+from stac_to_geocore_spark.sources.harvest import fetch_items_df, harvest, plan_pages
+from stac_to_geocore_spark.sources.sinks import (
+    LocalObjectStore,
+    MANIFEST_KEY,
+    delete_previous_run,
+    export_csv,
+    run_harvest_sink,
+    snapshot_overwrite,
+)
+
+
+def test_plan_pages_stops_despite_trailing_next_link():
+    fetch = make_fake_stac_fetch(n_items=95, page_size=30)
+    pages = plan_pages(fetch, f"{API_ROOT}/search")
+    # 95 items / 30 per page = 4 non-empty pages; page 5 exists (rel=next on
+    # the last page — the Franklin quirk) but must never be fetched into the plan
+    assert len(pages) == 4
+    assert pages[-1].endswith("page=4")
+
+
+def test_plan_pages_non_200_stops():
+    fetch = make_fake_stac_fetch(n_items=10)
+    pages = plan_pages(fetch, f"{API_ROOT}/bogus-route")
+    assert pages == []
+
+
+def test_distributed_fetch_items(spark):
+    fetch = make_fake_stac_fetch(n_items=95, page_size=30)
+    pages = plan_pages(fetch, f"{API_ROOT}/search")
+    df = fetch_items_df(spark, pages, fetch)
+    assert df.count() == 95
+    assert set(df.columns) == {"id", "bbox", "links", "assets", "properties", "collection"}
+
+
+def test_full_harvest_to_sink_roundtrip(spark, tmp_path):
+    fetch = make_fake_stac_fetch(n_items=60)
+    root, colls_df, items_df = harvest(spark, API_ROOT, fetch)
+    assert root["id"] == "CCMEO Datacube"
+    assert colls_df.count() == 8
+    docs = translate_items(items_df, colls_df)
+    store_root = str(tmp_path / "run1")
+    keys = run_harvest_sink(docs, store_root)
+    store = LocalObjectStore(store_root)
+    assert len(keys) == 60
+    listed = store.list()
+    assert MANIFEST_KEY in listed and len(listed) == 61
+    # second run with fewer items must delete ALL previous keys first (K3)
+    fetch2 = make_fake_stac_fetch(n_items=30)
+    _, colls2, items2 = harvest(spark, API_ROOT, fetch2)
+    keys2 = run_harvest_sink(translate_items(items2, colls2), store_root)
+    listed2 = store.list()
+    assert len(keys2) == 30 and len(listed2) == 31
+    assert not set(keys) - set(keys2) & set(listed2)  # stale keys gone
+
+
+def test_delete_previous_run_without_manifest(tmp_path):
+    assert delete_previous_run(LocalObjectStore(str(tmp_path / "empty"))) == 0
+
+
+def test_snapshot_overwrite_atomic_swap(spark, tmp_path):
+    fetch = make_fake_stac_fetch(n_items=30)
+    _, colls_df, items_df = harvest(spark, API_ROOT, fetch)
+    docs = translate_items(items_df, colls_df)
+    store_root = str(tmp_path / "snap")
+    keys = snapshot_overwrite(docs, store_root)
+    assert len(LocalObjectStore(store_root).list()) == 31
+    # overwrite with a second snapshot: no .staging/.old residue, fresh keys only
+    keys2 = snapshot_overwrite(docs, store_root)
+    assert sorted(keys) == sorted(keys2)
+    assert not os.path.exists(store_root + ".staging")
+    assert not os.path.exists(store_root + ".old")
+
+
+def test_export_csv(spark, tmp_path):
+    src = "/root/testdata/sf0.001/region.parquet"
+    out = str(tmp_path / "region_csv")
+    export_csv(spark, src, out)
+    got = spark.read.option("header", True).csv(out)
+    assert got.count() == 5

@@ -1,0 +1,110 @@
+"""Text dedup / analysis operators: planted near-duplicates must be found,
+langid must be sane on known-language text, winnowing must be edit-robust."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stac_to_geocore_spark.ann import brute_topk, embedding_dedup_pairs, lsh_topk
+from stac_to_geocore_spark.text.analysis import doc_fingerprint, langid, quality_score
+from stac_to_geocore_spark.text.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash64
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets over "
+    "the quiet river valley and a cool wind drifts across the open fields"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                       # exact dup of 0
+        (2, BASE.replace("quick", "swift")),             # near dup of 0
+        (3, "le chat est sur la table et le chien dort dans la maison pres de la porte"),
+        (4, "completely different content about spark query engines and shuffle partitioning strategies"),
+        (5, BASE.replace("dog", "cat").replace("fox", "hare")),  # near dup
+        (6, "der hund ist ein treuer freund und die katze schläft auf dem sofa mit der familie"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_exact_dup_estimate_is_one(docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_ngram_jaccard_exact_verification(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert all(j <= 1.0 for j in pairs.values())
+    assert not any(3 in p or 4 in p or 6 in p for p in pairs)
+
+
+def test_simhash_hamming_ranks_similarity(docs):
+    got = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[0], got[1]) == 0
+    assert ham(got[0], got[2]) < ham(got[0], got[4])
+
+
+def test_langid_on_known_languages(docs):
+    got = {r.doc_id: r.lang_pred for r in langid(docs).collect()}
+    assert got[0] == "en" and got[4] == "en"
+    assert got[3] == "fr"
+    assert got[6] == "de"
+
+
+def test_quality_score_ranges(docs):
+    q = quality_score(docs).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1)).all()
+    assert ((q.alpha_ratio > 0) & (q.alpha_ratio <= 1)).all()
+
+
+def test_winnowing_fingerprint_edit_robust(spark):
+    a = BASE
+    b = BASE.replace("quick", "swift")  # local edit
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fingerprint) for r in doc_fingerprint(df).collect()}
+    overlap = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    assert overlap > 0.6  # most fingerprints survive a one-word edit
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_topk(emb, q, k=10).toPandas()
+    # sf0.01 embeddings are near-random (top-10 cosine ~0.3): the hard LSH
+    # regime, needing low-selectivity tables for recall
+    approx = lsh_topk(emb, q, k=10, dim=64, n_tables=12, n_planes=4).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5  # multi-probe 1-bit LSH recall floor
+
+
+def test_embedding_dedup_self_similarity(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # plant an exact duplicate vector pair
+    dup = emb.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    planted = emb.unionByName(dup)
+    pairs = embedding_dedup_pairs(planted, threshold=0.999).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 100000)).any() or (
+        (pairs.id_a % 100000) == (pairs.id_b % 100000)
+    ).any()
