@@ -386,6 +386,56 @@ def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    # exact integer math end-to-end: cents sums are exact, and the half-up
+    # rounding happens in int64 (Spark HALF_UP vs DuckDB rounding differ on
+    # exact .5 landings, which cent-averages over 1-3 rows hit constantly);
+    # output is the 2dp average scaled x100 (integer cents)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = F.sum(cents).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.floor((F.lit(2) * s + n) / (F.lit(2) * n)).cast("long").alias("mov_avg_cents"),
+    )
+
+
+def _q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def _q_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.text.analysis import bpe_ish_token_count
 
@@ -497,8 +547,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_summary": _q_rollup_summary,
         "customers_without_orders": _q_customers_without_orders,
         "top_customers_window": _q_top_customers,
+        "moving_avg_orders": _q_moving_avg,
+        "events_lead_lag": _q_lead_lag,
+        "customer_dense_rank": _q_dense_rank,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_json_extract": _q_events_json,
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
         "knn_ring": _q_knn,
@@ -627,6 +681,38 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
                      ROUND(c_acctbal, 2) AS acctbal
               FROM customer) WHERE rnk <= 3
+        """,
+        "events_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "moving_avg_orders": """
+            WITH wsum AS (
+              SELECT o_orderkey, o_custkey,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,
+                     COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n
+              FROM orders)
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR((2 * s + n) * 1.0 / (2 * n)) AS BIGINT) AS mov_avg_cents
+            FROM wsum
+        """,
+        "events_lead_lag": """
+            SELECT event_id, user_id,
+                   ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_prev,
+                   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events
+        """,
+        "customer_dense_rank": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS drnk,
+                   CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS quartile
+            FROM customer
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

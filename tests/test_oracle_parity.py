@@ -59,7 +59,9 @@ def test_query_matches_oracle(spark, duck, name):
     if len(a):
         for c in a.columns:
             if pd.api.types.is_float_dtype(a[c]):
-                ok = np.allclose(a[c].to_numpy(), b[c].to_numpy(), rtol=0, atol=1e-9, equal_nan=True)
+                # the driver hashes values EXACTLY; in-query rounding must make
+                # both engines produce the identical decimal -> identical double
+                ok = np.allclose(a[c].to_numpy(), b[c].to_numpy(), rtol=0, atol=0, equal_nan=True)
             else:
                 ok = a[c].equals(b[c])
             assert ok, f"{name}: column {c} differs\n{a[c].head()}\n{b[c].head()}"

@@ -1,0 +1,56 @@
+"""Physical-plan contracts: the shapes that make the engine scale must not
+regress (SURVEY.md §4). These assert on .explain output, not timings — the
+properties that survive a 100x scale-up."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from stac_to_geocore_spark.fixtures import images_df, polygons_df
+from stac_to_geocore_spark.pipeline import flagship
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_plan_shape(spark):
+    p = _plan(flagship(images_df(spark, 10_000, bytes_mode="none"), polygons_df(spark, 32)))
+    # covers broadcast; the images side must never shuffle
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange") == p.count("BroadcastExchange"), "non-broadcast shuffle crept into the flagship"
+    # refine predicate fused into the join (filter-refine, no second pass)
+    assert "fully_inside" in p
+
+
+def test_flagship_scan_pruned(spark, tmp_path):
+    path = str(tmp_path / "imgs")
+    images_df(spark, 5_000, bytes_mode="none").write.parquet(path)
+    p = _plan(flagship(spark.read.parquet(path), polygons_df(spark, 8)))
+    scan_lines = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scan_lines, p
+    # bytes/caption/phash are not read — column pruning reaches the scan
+    assert all("bytes" not in l and "caption" not in l for l in scan_lines), scan_lines
+
+
+def test_q1_partial_aggregation(spark):
+    import __spark_entry__ as m
+
+    p = _plan(m.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    assert "partial" in p.lower(), "map-side combine missing from groupBy plan"
+    assert [l for l in p.splitlines() if "PushedFilters" in l and "l_shipdate" in l] or \
+           "l_shipdate" in p, "shipdate filter not near the scan"
+
+
+def test_dim_joins_broadcast(spark):
+    import __spark_entry__ as m
+
+    p = _plan(m.queries()["q5_local_supplier"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p  # nation/region dims
