@@ -1,0 +1,126 @@
+"""Multimodal column operators: resize/thumbnail (real), audio/video frame
+sampling (plumbing real, codec stubbed).
+
+Modalities ride as opaque binary columns + typed metadata. The Spark-side
+contract — schema, Arrow batch shape, partitioning, UDF signatures — is real
+and tested for every modality; only the audio/video byte decoders are
+deterministic stubs (this container has no ffmpeg/soundfile — a cluster
+image plugs real decoders into the same registry, mirroring
+images/codecs._DECODERS).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from stac_to_geocore_spark.images.codecs import decode_image, encode_image
+
+
+def block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean resize (pure numpy, any aspect ratio)."""
+    h, w, c = px.shape
+    ys = (np.arange(out_h + 1) * h / out_h).astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).astype(int)
+    out = np.empty((out_h, out_w, c), dtype=np.float64)
+    for r in range(out_h):
+        for cc in range(out_w):
+            block = px[ys[r] : max(ys[r + 1], ys[r] + 1), xs[cc] : max(xs[cc + 1], xs[cc] + 1)]
+            out[r, cc] = block.reshape(-1, c).mean(axis=0)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+THUMB_SCHEMA = "image_id string, thumb binary, thumb_w int, thumb_h int"
+
+
+def thumbnails(images: DataFrame, size: int = 16, fmt: str = "png") -> DataFrame:
+    """Decode -> block-mean resize -> re-encode; the standard image
+    feature-extraction plumbing shape (mapInPandas over fat binary rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                px = decode_image(bytes(r.bytes), r.fmt)
+                th = block_mean_resize(px, size, size)
+                rows.append((r.image_id, encode_image(th, fmt), size, size))
+            yield pd.DataFrame(rows, columns=["image_id", "thumb", "thumb_w", "thumb_h"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, THUMB_SCHEMA)
+
+
+# --- audio / video: real plumbing, stubbed codecs ---
+
+
+def _decode_audio_stub(data: bytes, fmt: str) -> np.ndarray:
+    """STUB: no audio codecs in this container. Deterministic fake decode so
+    the pipeline plumbing is testable: bytes -> synthetic mono PCM whose
+    content is a pure function of the payload."""
+    if fmt == "fakepcm":
+        return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+    raise NotImplementedError(
+        f"audio format {fmt!r}: real codec libs (soundfile/ffmpeg) are absent "
+        "in this container; plug a decoder here on a cluster image"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = "audio_id string, n_samples long, rms double, peak double"
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """(audio_id, bytes, fmt) -> per-clip loudness features. Batch shape and
+    schema are the real engine surface; decode is the stub above."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                pcm = _decode_audio_stub(bytes(r.bytes), r.fmt)
+                rms = float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
+                peak = float(np.abs(pcm).max()) if len(pcm) else 0.0
+                rows.append((r.audio_id, len(pcm), round(rms, 6), round(peak, 6)))
+            yield pd.DataFrame(rows, columns=["audio_id", "n_samples", "rms", "peak"])
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def _decode_video_frames_stub(data: bytes, fmt: str, every_n: int) -> list[np.ndarray]:
+    """STUB: no video codecs here. 'fakemjpg' = concatenated PNG frames with
+    a 4-byte big-endian length prefix each — real container logic, toy codec."""
+    if fmt != "fakemjpg":
+        raise NotImplementedError(
+            f"video format {fmt!r}: real codec libs are absent in this "
+            "container; plug a demuxer/decoder here on a cluster image"
+        )
+    frames, pos, i = [], 0, 0
+    while pos + 4 <= len(data):
+        n = int.from_bytes(data[pos : pos + 4], "big")
+        frame = data[pos + 4 : pos + 4 + n]
+        if i % every_n == 0:
+            frames.append(decode_image(frame, "png"))
+        pos += 4 + n
+        i += 1
+    return frames
+
+
+FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, h int, w int, mean_lum double"
+
+
+def sample_frames(video: DataFrame, every_n: int = 2) -> DataFrame:
+    """(video_id, bytes, fmt) -> one row per sampled frame. This is the
+    frame-sampling plumbing for video training data: a mapInPandas that
+    EXPLODES rows (one in, many out), the shape real video pipelines need."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                for idx, frame in enumerate(_decode_video_frames_stub(bytes(r.bytes), r.fmt, every_n)):
+                    lum = float((frame.astype(np.float64) @ np.array([0.114, 0.587, 0.299])).mean())
+                    rows.append((r.video_id, idx, frame.shape[0], frame.shape[1], round(lum, 4)))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "h", "w", "mean_lum"])
+
+    return video.select("video_id", "bytes", "fmt").mapInPandas(run, FRAME_SAMPLE_SCHEMA)

@@ -100,3 +100,26 @@ def flagship(
         f"tile_z{zoom}_x",
         f"tile_z{zoom}_y",
     )
+
+
+def materialize_assignments(
+    images: DataFrame,
+    polygons: DataFrame,
+    path: str,
+    run_id: str = "run",
+    batch_size: int | None = None,
+    **flagship_kwargs,
+):
+    """The north-star pipeline with per-partition lineage checkpointing:
+    flagship -> LineageWriter partitioned by cell_p5. A killed job resumes by
+    skipping committed partitions (BASELINE.json north_rule); the manifest
+    carries (cell range, row count, checksum, rows/sec) per partition.
+    Returns the manifest rows written this invocation."""
+    from stac_to_geocore_spark.tables.lineage import LineageWriter
+
+    out = flagship(images, polygons, **flagship_kwargs)
+    # range stats use the finest cell column; partitioning uses cell_p5
+    res = flagship_kwargs.get("res", 7)
+    out = out.withColumn("cell", F.col(f"h3_r{res}"))
+    writer = LineageWriter(path, partition_col="cell_p5")
+    return writer.write(out, run_id=run_id, batch_size=batch_size)

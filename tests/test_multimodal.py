@@ -1,0 +1,67 @@
+"""Multimodal plumbing: thumbnails (real), audio features and video frame
+sampling (real Spark plumbing, stub codecs), unknown formats raise the
+clearly-marked NotImplementedError."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stac_to_geocore_spark.fixtures import images_df
+from stac_to_geocore_spark.images.codecs import decode_image
+from stac_to_geocore_spark.images.multimodal import (
+    _decode_audio_stub,
+    audio_features,
+    block_mean_resize,
+    sample_frames,
+    thumbnails,
+)
+
+
+def test_thumbnails_roundtrip(spark):
+    out = thumbnails(images_df(spark, 40, bytes_mode="full"), size=16).toPandas()
+    assert len(out) == 40
+    assert (out.thumb_w == 16).all() and (out.thumb_h == 16).all()
+    th = decode_image(bytes(out.thumb.iloc[0]), "png")
+    assert th.shape == (16, 16, 3)
+
+
+def test_block_mean_resize_constant_image():
+    px = np.full((50, 70, 3), 77, dtype=np.uint8)
+    assert (block_mean_resize(px, 16, 16) == 77).all()
+
+
+def test_audio_features_plumbing(spark):
+    import pandas as pd
+
+    pcm = (np.sin(np.linspace(0, 20, 4000)) * 20000).astype(np.int16)
+    rows = [("a-0", pcm.tobytes(), "fakepcm"), ("a-1", np.zeros(100, np.int16).tobytes(), "fakepcm")]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    out = {r.audio_id: r for r in audio_features(df).collect()}
+    assert out["a-0"].n_samples == 4000 and out["a-0"].rms > 0.3
+    assert out["a-1"].rms == 0.0
+
+
+def test_audio_unknown_format_raises(spark):
+    df = spark.createDataFrame([("a-0", b"xx", "mp3")], "audio_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="codec libs.*absent|NotImplementedError"):
+        audio_features(df).collect()
+
+
+def test_video_frame_sampling(spark):
+    from stac_to_geocore_spark.images.codecs import encode_image
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(6)]
+    blob = b"".join(len(e).to_bytes(4, "big") + e for e in (encode_image(f, "png") for f in frames))
+    df = spark.createDataFrame([("v-0", blob, "fakemjpg")], "video_id string, bytes binary, fmt string")
+    out = sample_frames(df, every_n=2).toPandas().sort_values("frame_idx")
+    assert len(out) == 3  # frames 0, 2, 4
+    assert (out.h == 24).all() and (out.w == 32).all()
+
+
+def test_audio_stub_is_deterministic():
+    data = np.arange(50, dtype=np.int16).tobytes()
+    a = _decode_audio_stub(data, "fakepcm")
+    b = _decode_audio_stub(data, "fakepcm")
+    assert (a == b).all()
