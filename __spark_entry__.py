@@ -386,6 +386,17 @@ def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.relational import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    return asof_join(
+        e, o, left_key="user_id", right_key="o_custkey",
+        left_ts=F.col("ts"), right_ts=F.col("o_orderdate"), right_id="o_orderkey",
+    ).select("event_id", "user_id", "asof_o_orderkey", "asof_ts_epoch")
+
+
 def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -553,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_json_extract": _q_events_json,
+        "asof_latest_order": _q_asof_join,
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
         "knn_ring": _q_knn,
@@ -681,6 +693,17 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
                      ROUND(c_acctbal, 2) AS acctbal
               FROM customer) WHERE rnk <= 3
+        """,
+        "asof_latest_order": """
+            SELECT event_id, user_id,
+                   CAST(mx % 100000000 AS BIGINT) AS asof_o_orderkey,
+                   CAST(mx // 100000000 AS BIGINT) AS asof_ts_epoch
+            FROM (
+              SELECT e.event_id, e.user_id,
+                     MAX(CAST(epoch(o.o_orderdate) AS BIGINT) * 100000000 + o.o_orderkey) AS mx
+              FROM events e JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+              GROUP BY e.event_id, e.user_id)
         """,
         "events_json_extract": """
             SELECT event_type, COUNT(*) AS n,

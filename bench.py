@@ -71,6 +71,20 @@ def main() -> None:
     timings["flagship_pipeline"] = round(flagship_sec, 3)
     images_per_sec = round(n_images / flagship_sec, 1)
 
+    # per-stage decomposition of the same input (BASELINE.md stage table)
+    from pyspark.sql import functions as Fn
+
+    from stac_to_geocore_spark.cells.tiles import tile_x_expr, tile_y_expr
+    from stac_to_geocore_spark.pipeline import encode_stage
+
+    t0 = time.monotonic()
+    _force(encode_stage(images))
+    timings["stage_encode_h3_s2_tile"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    _force(images.select("image_id", tile_x_expr(Fn.col("lon"), 12).alias("x"),
+                         tile_y_expr(Fn.col("lat"), 12).alias("y")))
+    timings["stage_tile_only"] = round(time.monotonic() - t0, 3)
+
     # --- headline relational / text / spatial queries on the sf tables ---
     bench_queries = [
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
