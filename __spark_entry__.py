@@ -386,6 +386,48 @@ def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def _q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: correlated scalar subquery (below 20% of per-part avg
+    # quantity). The predicate qty < 0.2*avg(qty) is rewritten exactly in
+    # integers: 5*qty*count < sum  (quantities are integral) — FP-free.
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(F.lit(5) * F.col("l_quantity").cast("long") * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")) / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-cell exact median/p90 of point density
+    features (the UDAF-shaped escape hatch for non-SQL aggregates)."""
+    import pandas as pd
+
+    from stac_to_geocore_spark.cells.h3x import h3_encode
+
+    pts = _points_df(spark, sf_dir).withColumn("cell", h3_encode(F.col("lat"), F.col("lon"), 3))
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        lat = pdf["lat"].sort_values().to_numpy()
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n": [len(pdf)],
+                "lat_median": [round(float(pd.Series(lat).median()), 6)],
+                "lat_p90": [round(float(lat[min(len(lat) - 1, int(0.9 * len(lat)))]), 6)],
+            }
+        )
+
+    return pts.groupBy("cell").applyInPandas(stats, "cell long, n long, lat_median double, lat_p90 double")
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.relational import asof_join
 
@@ -565,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_json_extract": _q_events_json,
         "asof_latest_order": _q_asof_join,
+        "q17_small_quantity": _q17_small_quantity,
+        "cell_stats_grouped_map": _q_cell_stats,
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
         "knn_ring": _q_knn,
@@ -693,6 +737,16 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
                      ROUND(c_acctbal, 2) AS acctbal
               FROM customer) WHERE rnk <= 3
+        """,
+        "q17_small_quantity": """
+            WITH pp AS (
+              SELECT l_partkey AS pk,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+                     COUNT(*) AS qty_cnt
+              FROM lineitem GROUP BY l_partkey)
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS n_rows
+            FROM lineitem, pp
+            WHERE l_partkey = pk AND 5 * CAST(l_quantity AS BIGINT) * qty_cnt < qty_sum
         """,
         "asof_latest_order": """
             SELECT event_id, user_id,

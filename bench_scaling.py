@@ -102,6 +102,14 @@ def main() -> None:
     best = max(pairs, key=lambda p: p[2])
     med = sorted(p[2] for p in pairs)[len(pairs) // 2]
     rn, r4n, eff = best
+    os.makedirs("BENCH", exist_ok=True)
+    # BASELINE.md keeps a curated multi-session narrative; sessions append to
+    # the log so reruns never clobber earlier evidence
+    with open("BENCH/sessions.log", "a") as f:
+        f.write(json.dumps({"n": args.n, "images": args.images,
+                            "pairs": [round(p[2], 3) for p in pairs],
+                            "best": round(eff, 3), "median": round(med, 3),
+                            "best_n_sec": rn["sec"], "best_4n_sec": r4n["sec"]}) + "\n")
     lines = [
         "# BENCH — measured scaling evidence (flagship pipeline)",
         "",
@@ -131,9 +139,9 @@ def main() -> None:
         "planned driver-side and broadcast, and tile math is whole-stage-",
         "codegen column arithmetic.",
     ]
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+    if not os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
     print(json.dumps({"eff_best": round(eff, 3), "eff_median": round(med, 3),
                       "rN": rn, "r4N": r4n}))
 
