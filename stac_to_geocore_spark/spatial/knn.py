@@ -95,8 +95,10 @@ def knn_join(
     pts = pts.persist()
     try:
         # initial radius: uniform-density estimate of the k-th neighbor
-        # distance, padded 2x; doubles until the guarantee closes
-        R = 2.0 * math.sqrt(max(1e-12, k * area / (math.pi * max(1, n_pts))))
+        # distance, padded 3x so the guarantee usually closes on the first
+        # pass (each extra pass costs a full join+window round); candidate
+        # cells grow ~9x but the cover stays tiny relative to the join
+        R = 3.0 * math.sqrt(max(1e-12, k * area / (math.pi * max(1, n_pts))))
         for _ in range(max_iter):
             cell_rows = []
             for i, qid in enumerate(qids):
