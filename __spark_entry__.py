@@ -386,6 +386,22 @@ def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def _q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n", "total_cents",
+        )
+    )
+
+
 def _q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q17 shape: correlated scalar subquery (below 20% of per-part avg
     # quantity). The predicate qty < 0.2*avg(qty) is rewritten exactly in
@@ -608,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _q_events_json,
         "asof_latest_order": _q_asof_join,
         "q17_small_quantity": _q17_small_quantity,
+        "cube_summary": _q_cube_summary,
         "cell_stats_grouped_map": _q_cell_stats,
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
@@ -737,6 +754,13 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
                      ROUND(c_acctbal, 2) AS acctbal
               FROM customer) WHERE rnk <= 3
+        """,
+        "cube_summary": """
+            SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                   COALESCE(o_orderpriority, '(all)') AS priority,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "q17_small_quantity": """
             WITH pp AS (
