@@ -569,6 +569,16 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=10, dim=64, n_tables=12, n_planes=4)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(emb, q, k=10, dim=64, n_centroids=16, n_probe=6)
+
+
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.ann import embedding_dedup_pairs
 
@@ -641,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_dedup": _q_embedding_dedup,
         "geocore_translate": _q_geocore_translate,
         "image_decode_stats": _q_image_decode,

@@ -108,6 +108,68 @@ def lsh_topk(
     )
 
 
+def _kmeans_np(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 12) -> np.ndarray:
+    """Plain numpy Lloyd's k-means (driver-side coarse quantizer training)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """array<long> of the n_probe nearest centroid ids per vector."""
+    cent = centroids
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d, axis=1)[:, :n_probe].astype(np.int64)
+        return pd.Series(list(idx))
+
+    return _assign
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+    n_centroids: int = 16, n_probe: int = 4, train_sample: int = 4096, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id: str = "query_id", q_vec: str = "q_emb",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a driver-trained k-means coarse quantizer
+    partitions vectors into cells; queries probe their n_probe nearest
+    cells; exact cosine re-ranks the candidates.
+
+    The scale story mirrors lsh_topk: data rows carry one int cell id (the
+    natural bucketing/partition column at warehouse scale, so probes prune
+    file reads), and only the tiny query side fans out over probes."""
+    sample_rows = emb.select(vec_col).limit(train_sample).collect()
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    centroids = _kmeans_np(sample, n_centroids, seed)
+
+    data = emb.withColumn("ivf_cell", ivf_assign_udf(centroids, 1)(F.col(vec_col))[0])
+    q = (
+        queries.withColumn("ivf_cell", F.explode(ivf_assign_udf(centroids, n_probe)(F.col(q_vec))))
+        .select(q_id, q_vec, "ivf_cell")
+    )
+    sim = F.round(_cosine(q_vec, vec_col), 6)
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        data.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col(id_col) != F.col(q_id))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "rank", "sim")
+    )
+
+
 def embedding_dedup_pairs(
     emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     n_tables: int = 6, n_planes: int = 10, seed: int = 42,

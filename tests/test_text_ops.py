@@ -99,6 +99,25 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert sum(recalls) / len(recalls) >= 0.5  # multi-probe 1-bit LSH recall floor
 
 
+def test_ann_ivf_recall_vs_brute(spark):
+    from stac_to_geocore_spark.ann import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_topk(emb, q, k=10).toPandas()
+    approx = ivf_topk(emb, q, k=10, dim=64, n_centroids=16, n_probe=8).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    # probing half the cells of near-random vectors: recall well above the
+    # 50% candidate-fraction floor means the quantizer is informative
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
 def test_embedding_dedup_self_similarity(spark):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     # plant an exact duplicate vector pair
