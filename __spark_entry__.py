@@ -594,6 +594,30 @@ def _q_geocore_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geocore_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection translation (ref app.py:118-135, stac_to_geocore.py:374-454):
+    covers SURVEY §2 M2/R2/P2/P5/P6 through the driver gate."""
+    from stac_to_geocore_spark.compat import translate_collections
+    from stac_to_geocore_spark.fixtures import stac_collections_df
+
+    return translate_collections(stac_collections_df(spark)).select(
+        "key", F.length("json").alias("json_len"), F.md5("json").alias("json_md5")
+    )
+
+
+def _q_geocore_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-catalog translation (ref app.py:72-116): single driver-side record
+    (the reference translates exactly one root per run); covers M1/R1/J4."""
+    from stac_to_geocore_spark.compat.translate import _coll_dict, translate_root
+    from stac_to_geocore_spark.fixtures import stac_collections_df, stac_root_fixture
+
+    colls = [_coll_dict(r) for r in stac_collections_df(spark).toPandas().to_dict("records")]
+    key, doc = translate_root(stac_root_fixture(), colls)
+    return spark.createDataFrame([(key, doc)], "key string, json string").select(
+        "key", F.length("json").alias("json_len"), F.md5("json").alias("json_md5")
+    )
+
+
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.fixtures import images_df
     from stac_to_geocore_spark.images.ops import decode_stats
@@ -654,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "embedding_dedup": _q_embedding_dedup,
         "geocore_translate": _q_geocore_translate,
+        "geocore_collections": _q_geocore_collections,
+        "geocore_root": _q_geocore_root,
         "image_decode_stats": _q_image_decode,
         "image_verify": _q_image_verify,
     }

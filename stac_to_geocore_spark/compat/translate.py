@@ -28,7 +28,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 
 from stac_to_geocore_spark.compat import rules
 
@@ -40,7 +40,14 @@ DEFAULT_SOURCE_SYSTEM = "ccmeo-datacube"
 
 
 def _plain(v):
-    """Arrow/pandas value -> plain Python (lists, dicts, scalars)."""
+    """Arrow/pandas value -> plain Python (lists, dicts, scalars).
+
+    toPandas() yields struct columns as plain dicts under Arrow but as
+    pyspark Row objects in a vanilla (non-Arrow) session; Row is a tuple
+    subclass, so it must be unwrapped BEFORE the list/tuple branch or the
+    keys are silently dropped."""
+    if isinstance(v, Row):
+        return {k: _plain(x) for k, x in v.asDict().items()}
     if isinstance(v, np.ndarray):
         return [_plain(x) for x in v]
     if isinstance(v, (list, tuple)):
@@ -56,15 +63,24 @@ def _plain(v):
     return v
 
 
+def _mapping(v) -> dict:
+    """Struct value -> dict, whether Arrow (dict), vanilla session (Row), or
+    a list of (k, v) pairs (MapType under Arrow)."""
+    if isinstance(v, Row):
+        return v.asDict()
+    return dict(v)
+
+
 def _assets_dict(v):
-    """MapType arrives as list[(k, struct)] from Arrow; None-title values are
-    dropped so 'absent' semantics hold (ref .get('title', default))."""
+    """MapType arrives as list[(k, struct)] from Arrow, dict[str, Row] from a
+    vanilla session; None-title values are dropped so 'absent' semantics hold
+    (ref .get('title', default))."""
     if v is None:
         return None
     items = v.items() if isinstance(v, dict) else v
     out = {}
     for k, a in items:
-        a = {kk: _plain(vv) for kk, vv in dict(a).items()}
+        a = {kk: _plain(vv) for kk, vv in _mapping(a).items()}
         if a.get("title") is None:
             a.pop("title", None)
         out[k] = a
@@ -78,7 +94,7 @@ def _links_list(v):
 
 
 def _item_dict(row: pd.Series) -> dict:
-    props = dict(row["properties"]) if row["properties"] is not None else {}
+    props = _mapping(row["properties"]) if row["properties"] is not None else {}
     props = {k: _plain(v) for k, v in props.items() if _plain(v) is not None or k == "datetime"}
     return {
         "id": row["id"],
@@ -94,10 +110,10 @@ def _coll_dict(row: pd.Series) -> dict:
     ext = row["extent"]
     extent = None
     if ext is not None:
-        ext = dict(ext)
+        ext = _mapping(ext)
         extent = {
-            "spatial": {"bbox": _plain(dict(ext["spatial"])["bbox"])} if ext.get("spatial") is not None else None,
-            "temporal": {"interval": _plain(dict(ext["temporal"])["interval"])} if ext.get("temporal") is not None else None,
+            "spatial": {"bbox": _plain(_mapping(ext["spatial"])["bbox"])} if ext.get("spatial") is not None else None,
+            "temporal": {"interval": _plain(_mapping(ext["temporal"])["interval"])} if ext.get("temporal") is not None else None,
         }
         extent = {k: v for k, v in extent.items() if v is not None}
     return {
