@@ -422,26 +422,40 @@ def _q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-cell exact median/p90 of point density
-    features (the UDAF-shaped escape hatch for non-SQL aggregates)."""
+    """Grouped-map applyInPandas: per-cell exact median (the UDAF-shaped
+    escape hatch for non-SQL aggregates). Stats are integer-exact
+    (microdegree scaling, median reported x2 so even-count midpoints stay
+    integral) so the SQL oracle hash-matches bit-for-bit."""
+    import numpy as np
     import pandas as pd
 
-    from stac_to_geocore_spark.cells.h3x import h3_encode
-
-    pts = _points_df(spark, sf_dir).withColumn("cell", h3_encode(F.col("lat"), F.col("lon"), 3))
+    pts = _points_df(spark, sf_dir).withColumn(
+        "cell",
+        (F.floor((F.col("lon") + 180.0) / 10.0) * F.lit(100)
+         + F.floor((F.col("lat") + 90.0) / 10.0)).cast("long"),
+    )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        lat = pdf["lat"].sort_values().to_numpy()
+        lat_e6 = np.rint(pdf["lat"].to_numpy() * 1e6).astype(np.int64)
+        lon_e6 = np.rint(pdf["lon"].to_numpy() * 1e6).astype(np.int64)
+        s = np.sort(lat_e6)
+        n, mid = len(s), len(s) // 2
+        med2 = int(s[mid - 1] + s[mid]) if n % 2 == 0 else int(2 * s[mid])
         return pd.DataFrame(
             {
                 "cell": [int(pdf["cell"].iloc[0])],
-                "n": [len(pdf)],
-                "lat_median": [round(float(pd.Series(lat).median()), 6)],
-                "lat_p90": [round(float(lat[min(len(lat) - 1, int(0.9 * len(lat)))]), 6)],
+                "n": [n],
+                "lat_min_e6": [int(lat_e6.min())],
+                "lat_max_e6": [int(lat_e6.max())],
+                "lat_med_e6_x2": [med2],
+                "lon_sum_e6": [int(lon_e6.sum())],
             }
         )
 
-    return pts.groupBy("cell").applyInPandas(stats, "cell long, n long, lat_median double, lat_p90 double")
+    return pts.groupBy("cell").applyInPandas(
+        stats,
+        "cell long, n long, lat_min_e6 long, lat_max_e6 long, lat_med_e6_x2 long, lon_sum_e6 long",
+    )
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,9 +594,20 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection with planted near-dups: sf embeddings are
+    near-random (no true pairs >= 0.9 cosine), so 5 perturbed copies
+    (x*1.01 + 0.001, cosine ~0.9999) are planted to make the check
+    non-vacuous. The oracle brute-forces all pairs; LSH must find them all."""
     from stac_to_geocore_spark.ann import embedding_dedup_pairs
 
-    return embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + 0.001).alias("embedding"),
+    )
+    return embedding_dedup_pairs(emb.unionByName(planted), threshold=0.9)
 
 
 def _q_geocore_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,6 +890,18 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_sess
               FROM events) GROUP BY user_id
         """,
+        "cell_stats_grouped_map": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            g AS (SELECT CAST(FLOOR((lon + 180.0) / 10.0) * 100 + FLOOR((lat + 90.0) / 10.0) AS BIGINT) AS cell,
+                         CAST(ROUND(lat * 1000000) AS BIGINT) AS lat_e6,
+                         CAST(ROUND(lon * 1000000) AS BIGINT) AS lon_e6
+                  FROM pts)
+            SELECT cell, COUNT(*) AS n,
+                   MIN(lat_e6) AS lat_min_e6, MAX(lat_e6) AS lat_max_e6,
+                   CAST(ROUND(2 * MEDIAN(lat_e6)) AS BIGINT) AS lat_med_e6_x2,
+                   CAST(SUM(lon_e6) AS BIGINT) AS lon_sum_e6
+            FROM g GROUP BY cell
+        """,
         "tile_assign": f"""
             WITH pts AS ({_POINTS_SQL})
             SELECT point_id,
@@ -935,6 +972,20 @@ def oracle_sql() -> dict[str, str]:
                          * (1.0 - ROUND(n_punct * 1.0 / n_chars, 4))
                          * ROUND(n_uniq * 1.0 / n_tokens, 4), 4) AS quality
             FROM base
+        """,
+        "embedding_dedup": """
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            planted AS (
+              SELECT vec_id + 1000000 AS vec_id, list_transform(emb, x -> x * 1.01 + 0.001) AS emb
+              FROM base WHERE vec_id < 5),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(a.emb, b.emb)
+                       / (SQRT(list_dot_product(a.emb, a.emb))
+                          * SQRT(list_dot_product(b.emb, b.emb))), 6) AS sim
+              FROM allv a, allv b WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
