@@ -58,26 +58,48 @@ class LocalObjectStore:
         return sorted(out)
 
 
-def write_objects(df: DataFrame, store_root: str) -> int:
+PARTS_PREFIX = "_manifest_parts"
+
+
+def write_objects(df: DataFrame, store_root: str, manifest_parts: bool = False) -> int:
     """K1: per-record put. df must be (key, json). Distributed: each
     partition writes its own objects (the reference uploads serially,
-    app.py:113/131/158)."""
+    app.py:113/131/158). With manifest_parts=True each partition also logs
+    its keys to one part file — the manifest is built in the same pass with
+    nothing collected to the driver."""
+    from pyspark import TaskContext
 
     def put_batch(rows) -> None:
         store = LocalObjectStore(store_root)
+        keys = []
         for row in rows:
             store.put(row["key"], row["json"])
+            if manifest_parts:
+                keys.append(row["key"])
+        if keys:
+            pid = TaskContext.get().partitionId()
+            store.put(f"{PARTS_PREFIX}/part-{pid:05d}.txt", "".join(f"{k}\n" for k in keys))
 
     df.foreachPartition(put_batch)
     return 0
 
 
-def write_manifest(df: DataFrame, store: LocalObjectStore) -> list[str]:
-    """K2: lastRun.txt — newline-separated list of every key written this
-    run (ref app.py:69,164). Keys are small (one per record), collected."""
-    keys = [r["key"] for r in df.select("key").collect()]
-    store.put(MANIFEST_KEY, "".join(f"{k}\n" for k in keys))
-    return keys
+def merge_manifest_parts(store: LocalObjectStore) -> int:
+    """K2: assemble lastRun.txt (ref app.py:69,164) by streaming the
+    per-partition part files in partition order — the driver never holds
+    more than one part in memory (vs the old collect() of every key, a
+    driver OOM at billions of records). Returns the key count."""
+    parts = sorted(k for k in store.list() if k.startswith(PARTS_PREFIX + "/"))
+    n = 0
+    manifest_path = store._path(MANIFEST_KEY)
+    os.makedirs(os.path.dirname(manifest_path) or store.root, exist_ok=True)
+    with open(manifest_path, "w", encoding="utf-8") as out:
+        for part in parts:
+            text = store.get(part)
+            out.write(text)
+            n += text.count("\n")
+            store.delete(part)
+    return n
 
 
 def delete_previous_run(store: LocalObjectStore) -> int:
@@ -94,13 +116,23 @@ def delete_previous_run(store: LocalObjectStore) -> int:
     return n
 
 
+def _manifest_keys(store: LocalObjectStore) -> list[str]:
+    """Key list read back from the manifest object — a convenience for
+    small-harvest callers and the reference-parity tests; the manifest
+    itself is never built through a Spark collect."""
+    manifest = store.get(MANIFEST_KEY) or ""
+    return [k for k in manifest.splitlines() if k]
+
+
 def run_harvest_sink(df: DataFrame, store_root: str) -> list[str]:
     """The reference's full sink protocol: delete previous run, write all
-    records, upload the manifest."""
+    records + per-partition manifest parts in ONE distributed pass, then
+    stream-merge the parts into lastRun.txt."""
     store = LocalObjectStore(store_root)
     delete_previous_run(store)
-    write_objects(df, store_root)
-    return write_manifest(df, store)
+    write_objects(df, store_root, manifest_parts=True)
+    merge_manifest_parts(store)
+    return _manifest_keys(store)
 
 
 def snapshot_overwrite(df: DataFrame, store_root: str) -> list[str]:
@@ -109,8 +141,10 @@ def snapshot_overwrite(df: DataFrame, store_root: str) -> list[str]:
     on a cluster). Readers never observe a half-written run."""
     staging = store_root.rstrip("/") + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
-    write_objects(df, staging)
-    keys = write_manifest(df, LocalObjectStore(staging))
+    write_objects(df, staging, manifest_parts=True)
+    staging_store = LocalObjectStore(staging)
+    merge_manifest_parts(staging_store)
+    keys = _manifest_keys(staging_store)
     old = store_root.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(store_root):
