@@ -63,6 +63,37 @@ def _polygons_values_sql() -> str:
     return f"(VALUES {rows}) AS polys(poly_id, west, south, east, north)"
 
 
+def _ring_polys() -> list[tuple[str, list[float], list[float]]]:
+    """Deterministic non-convex star rings over the synthetic points' domain.
+    Vertices are plain python floats shared verbatim by the Spark query
+    (array literals) and the DuckDB oracle (repr literals), so both engines
+    ray-cast identical doubles. Angle offset 0.13 keeps every edge
+    non-horizontal (no division-by-zero branch in either engine)."""
+    import math
+
+    out = []
+    for pi, (cx, cy, ro, ri) in enumerate(
+        [(-120.0, 55.0, 8.0, 3.5), (-95.0, 70.0, 9.0, 4.0), (-70.0, 50.0, 7.0, 3.0)]
+    ):
+        xs, ys = [], []
+        for k in range(10):
+            ang = 0.13 + k * (2.0 * math.pi / 10.0)
+            r = ro if k % 2 == 0 else ri
+            xs.append(cx + r * math.cos(ang))
+            ys.append(cy + r * math.sin(ang))
+        out.append((f"ring-{pi}", xs, ys))
+    return out
+
+
+def _ring_edges_sql() -> str:
+    rows = []
+    for pid, xs, ys in _ring_polys():
+        for i in range(len(xs)):
+            j = (i + 1) % len(xs)
+            rows.append(f"('{pid}', {xs[i]!r}, {ys[i]!r}, {xs[j]!r}, {ys[j]!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS e(poly_id, x1, y1, x2, y2)"
+
+
 _KNN_QUERIES = [
     ("q-00", -118.319, 54.355), ("q-01", -92.759, 63.429), ("q-02", -68.626, 49.391),
     ("q-03", -135.029, 75.571), ("q-04", -77.736, 70.305),
@@ -182,6 +213,17 @@ def _q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_df(spark, sf_dir)
     polys = spark.createDataFrame(_fixture_polygons_pdf(), POLYGONS_SCHEMA)
     return pip_join(pts, polys, point_id="point_id").select("point_id", "poly_id")
+
+
+def _q_pip_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-polygon PIP: cell-cover filter + exact vectorized ray-cast
+    refine on non-convex star rings (spatial/pip.pip_ring_join)."""
+    from stac_to_geocore_spark.spatial.pip import pip_ring_join
+
+    rings = spark.createDataFrame(
+        _ring_polys(), "poly_id string, ring_lon array<double>, ring_lat array<double>"
+    )
+    return pip_ring_join(_points_df(spark, sf_dir), rings)
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_stats_grouped_map": _q_cell_stats,
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
+        "pip_ring": _q_pip_ring,
         "knn_ring": _q_knn,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
@@ -915,6 +958,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT point_id, poly_id
             FROM pts, {polys}
             WHERE lon >= west AND lon <= east AND lat >= south AND lat <= north
+        """,
+        "pip_ring": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            c AS (
+              SELECT p.point_id, e.poly_id,
+                     CASE WHEN ((e.y1 > p.lat) != (e.y2 > p.lat))
+                           AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                          THEN 1 ELSE 0 END AS hit
+              FROM pts p, {_ring_edges_sql()})
+            SELECT point_id, poly_id
+            FROM c GROUP BY point_id, poly_id HAVING SUM(hit) % 2 = 1
         """,
         "knn_ring": f"""
             WITH pts AS ({_POINTS_SQL}),

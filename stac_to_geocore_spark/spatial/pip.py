@@ -94,23 +94,90 @@ def pip_join(
     return out
 
 
+def pip_ring_join(
+    points: DataFrame,
+    rings: DataFrame,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    res_min: int = 5,
+    res_max: int = 9,
+    max_cells: int = 2048,
+    fixed_res: int | None = None,
+) -> DataFrame:
+    """Assign each point to every containing GENERAL polygon (ring), not just
+    a bbox: cell-cover filter on the ring's bbox, exact even-odd ray-cast
+    refine (refine_ring) on the candidates.
+
+    rings: (poly_id, ring_lon: array<double>, ring_lat: array<double>)
+    returns (point_id, poly_id)
+
+    Same 100 TB shape as pip_join: the point side is scanned once per used
+    res, joined against a broadcastable cover, never shuffled; the ring
+    arrays ride the broadcast side so the exact refine runs join-local."""
+    polys = rings.select(
+        "poly_id",
+        F.array_min("ring_lon").alias("west"), F.array_min("ring_lat").alias("south"),
+        F.array_max("ring_lon").alias("east"), F.array_max("ring_lat").alias("north"),
+    )
+    covers = (
+        covers_df(polys, res_min, res_max, max_cells, fixed_res)
+        # fully_inside means inside the BBOX, not the ring — every candidate
+        # must go through the exact refine, so only (poly, res, cell) is kept
+        .select("poly_id", "res", "cell")
+        .join(rings, "poly_id")
+    )
+    covers = F.broadcast(covers)
+    res_rows = [r.res for r in covers.select("res").distinct().collect()]
+
+    pts = points.select(point_id, lon, lat)
+    out = None
+    for res in sorted(res_rows):
+        cov_r = covers.filter(F.col("res") == res)
+        pts_r = pts.withColumn("cell", h3_encode(F.col(lat), F.col(lon), res))
+        refined = (
+            pts_r.join(cov_r, "cell", "inner")
+            .filter(refine_ring(F.col(lon), F.col(lat), F.col("ring_lon"), F.col("ring_lat")))
+            .select(point_id, "poly_id")
+        )
+        out = refined if out is None else out.unionByName(refined)
+    if out is None:
+        return points.select(point_id).withColumn("poly_id", F.lit(None).cast("string")).filter(F.lit(False))
+    return out
+
+
 def refine_ring(lon: Column, lat: Column, ring_lon: Column, ring_lat: Column) -> Column:
-    """Exact point-in-polygon for general rings (arrays of coords): vectorized
-    even-odd ray casting in an Arrow-batched pandas UDF. Used instead of the
-    bbox predicate when polygons are true rings, on boundary cells only."""
+    """Exact point-in-polygon for general rings (arrays of coords): even-odd
+    ray casting in an Arrow-batched pandas UDF. Used instead of the bbox
+    predicate when polygons are true rings, on boundary cells only.
+
+    Fully vectorized: rows sharing a ring are grouped (a batch typically
+    holds few distinct polygons but many candidate points), and each group
+    is ray-cast in ONE numpy broadcast (points x edges) — no per-row Python
+    in the hot path."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BooleanType())
     def _pip(px: pd.Series, py: pd.Series, rx: pd.Series, ry: pd.Series) -> pd.Series:
         out = np.zeros(len(px), dtype=bool)
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        groups: dict[bytes, list[int]] = {}
         for k in range(len(px)):
-            xs = np.asarray(rx.iloc[k], dtype=np.float64)
-            ys = np.asarray(ry.iloc[k], dtype=np.float64)
-            x, y = px.iloc[k], py.iloc[k]
+            key = np.asarray(rx.iloc[k], dtype=np.float64).tobytes() \
+                + np.asarray(ry.iloc[k], dtype=np.float64).tobytes()
+            groups.setdefault(key, []).append(k)
+        for idxs in groups.values():
+            i0 = idxs[0]
+            xs = np.asarray(rx.iloc[i0], dtype=np.float64)
+            ys = np.asarray(ry.iloc[i0], dtype=np.float64)
             x1, y1 = xs, ys
             x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
-            crosses = ((y1 > y) != (y2 > y)) & (x < (x2 - x1) * (y - y1) / (y2 - y1) + x1)
-            out[k] = crosses.sum() % 2 == 1
+            ii = np.asarray(idxs)
+            X, Y = pxv[ii][:, None], pyv[ii][:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                crosses = ((y1 > Y) != (y2 > Y)) & (X < (x2 - x1) * (Y - y1) / (y2 - y1) + x1)
+            out[ii] = (crosses.sum(axis=1) % 2) == 1
         return pd.Series(out)
 
     return _pip(lon, lat, ring_lon, ring_lat)
