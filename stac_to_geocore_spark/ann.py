@@ -74,22 +74,47 @@ def lsh_bucket_udf(dim: int, n_tables: int = 8, n_planes: int = 6, seed: int = 4
     return _sig
 
 
+def lsh_probe_udf(dim: int, n_tables: int = 8, n_planes: int = 6, seed: int = 42):
+    """Multi-probe bucket keys for the QUERY side: per table, the exact
+    bucket plus every 1-bit-flip neighbor (the n_planes buckets across the
+    single nearest hyperplane). Only the tiny query side fans out
+    (1 + n_planes keys per table); data rows keep one key per table."""
+    planes = _planes(dim, n_tables, n_planes, seed)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+    flips = np.concatenate([[0], powers])  # XOR masks: exact probe + 1-bit flips
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = np.einsum("rd,tpd->rtp", m, planes) > 0
+        keys = (bits * powers).sum(axis=2).astype(np.int64)        # (rows, tables)
+        probed = keys[:, :, None] ^ flips[None, None, :]           # (rows, tables, 1+planes)
+        probed = probed + (np.arange(n_tables, dtype=np.int64) << np.int64(32))[None, :, None]
+        return pd.Series(list(probed.reshape(len(vecs), -1)))
+
+    return _probe
+
+
 def lsh_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     n_tables: int = 8, n_planes: int = 6, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     q_id: str = "query_id", q_vec: str = "q_emb",
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = union of same-bucket rows over
     n_tables independent random-hyperplane tables, exact cosine re-rank.
     Recall/candidate-fraction trades off via (n_tables, n_planes): more
-    planes -> smaller buckets, more tables -> higher recall. At warehouse
-    scale the bucket keys are the table's bucketing/partition columns, so
-    the probe side prunes file reads instead of scanning."""
+    planes -> smaller buckets, more tables -> higher recall; multi_probe
+    additionally probes each 1-bit-flip neighbor bucket from the query
+    side. At warehouse scale the bucket keys are the table's
+    bucketing/partition columns, so the probe side prunes file reads
+    instead of scanning."""
     sig = lsh_bucket_udf(dim, n_tables, n_planes, seed)
+    q_sig = lsh_probe_udf(dim, n_tables, n_planes, seed) if multi_probe else sig
     data = emb.withColumn("bucket", F.explode(sig(F.col(vec_col))))
     q = (
-        queries.withColumn("bucket", F.explode(sig(F.col(q_vec))))
+        queries.withColumn("bucket", F.explode(q_sig(F.col(q_vec))))
         .select(q_id, q_vec, "bucket")
     )
     cand = (
@@ -149,7 +174,11 @@ def ivf_topk(
     The scale story mirrors lsh_topk: data rows carry one int cell id (the
     natural bucketing/partition column at warehouse scale, so probes prune
     file reads), and only the tiny query side fans out over probes."""
-    sample_rows = emb.select(vec_col).limit(train_sample).collect()
+    # seeded Bernoulli sample across ALL partitions — limit() would take the
+    # first partitions only, a partition-biased training set for the quantizer
+    n = emb.count()
+    frac = min(1.0, 2.0 * train_sample / max(1, n))
+    sample_rows = emb.select(vec_col).sample(fraction=frac, seed=seed).limit(train_sample).collect()
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     centroids = _kmeans_np(sample, n_centroids, seed)
 

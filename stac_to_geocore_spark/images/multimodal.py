@@ -21,16 +21,24 @@ from stac_to_geocore_spark.images.codecs import decode_image, encode_image
 
 
 def block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic block-mean resize (pure numpy, any aspect ratio)."""
+    """Deterministic block-mean resize (pure numpy, any aspect ratio).
+
+    One summed-area table + a vectorized 4-corner lookup per output pixel —
+    no per-pixel Python loop. Integer pixel sums are exact in float64, so
+    the means are bit-identical to a naive per-block mean."""
     h, w, c = px.shape
     ys = (np.arange(out_h + 1) * h / out_h).astype(int)
     xs = (np.arange(out_w + 1) * w / out_w).astype(int)
-    out = np.empty((out_h, out_w, c), dtype=np.float64)
-    for r in range(out_h):
-        for cc in range(out_w):
-            block = px[ys[r] : max(ys[r + 1], ys[r] + 1), xs[cc] : max(xs[cc + 1], xs[cc] + 1)]
-            out[r, cc] = block.reshape(-1, c).mean(axis=0)
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)  # blocks are >= 1px
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    sat = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    sat[1:, 1:] = px.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    sums = (
+        sat[y1[:, None], x1[None, :]] - sat[y0[:, None], x1[None, :]]
+        - sat[y1[:, None], x0[None, :]] + sat[y0[:, None], x0[None, :]]
+    )
+    areas = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float64)[..., None]
+    return np.clip(np.rint(sums / areas), 0, 255).astype(np.uint8)
 
 
 THUMB_SCHEMA = "image_id string, thumb binary, thumb_w int, thumb_h int"

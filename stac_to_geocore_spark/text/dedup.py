@@ -75,12 +75,21 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     seed: int = 42,
+    max_band_size: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     banding: rows-per-band r = num_hashes/bands; a pair collides in a band
     iff that band's r minhashes all agree -> candidate. est_jaccard is the
     fraction of agreeing minhashes over the full signature.
+
+    max_band_size caps hot buckets: a band bucket holding B docs yields
+    B(B-1)/2 candidates, so one boilerplate cluster (every page sharing a
+    footer) otherwise turns the self-join quadratic. Buckets above the cap
+    are dropped before the join — members of a >cap bucket are a
+    near-identical cluster whose pairs either surface through their other
+    (more selective) bands or are exactly the mass-duplicate blob a 100 TB
+    dedup pass wants handled by exact-hash grouping, not pairwise LSH.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -96,6 +105,15 @@ def minhash_lsh_pairs(
             ])
         ).alias("band", "band_key"),
     )
+    if max_band_size is not None:
+        # shuffles on band_key — the same key as the self-join below, so the
+        # exchange is reused and this adds no extra fact-side shuffle
+        sizes = band_keys.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_bs"))
+        band_keys = (
+            band_keys.join(sizes, ["band", "band_key"])
+            .filter(F.col("_bs") <= max_band_size)
+            .drop("_bs")
+        )
     left = band_keys.alias("l")
     right = band_keys.alias("r")
     cand = (
@@ -155,12 +173,13 @@ def ngram_jaccard_pairs(
     lsh_bands: int = 16,
     num_hashes: int = 64,
     seed: int = 42,
+    max_band_size: int | None = 1024,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for LSH-candidate pairs only (filter via
     MinHash banding, verify exactly on the candidate subset)."""
     cand = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes=num_hashes, bands=lsh_bands,
-        threshold=0.0, seed=seed,
+        threshold=0.0, seed=seed, max_band_size=max_band_size,
     ).select("id_a", "id_b")
 
     @F.pandas_udf(ArrayType(LongType()))

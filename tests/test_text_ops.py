@@ -38,6 +38,23 @@ def test_minhash_finds_planted_near_dups(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_band_cap_bounds_boilerplate_blowup(spark):
+    """A boilerplate cluster (one text repeated 60x) must not go quadratic:
+    with max_band_size below the cluster size its buckets are dropped, while
+    planted near-dups in normal-sized buckets are still found."""
+    rows = [(i, "standard legal disclaimer footer repeated on every single page of the site") for i in range(60)]
+    rows += [(100, BASE), (101, BASE.replace("quick", "swift"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_band_size=10).toPandas()
+    pairs = {(a, b) for a, b in zip(capped["id_a"], capped["id_b"])}
+    assert (100, 101) in pairs                       # recall kept for real near-dups
+    assert not any(a < 60 and b < 60 for a, b in pairs)  # boilerplate pairs suppressed
+
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5, max_band_size=None)
+    assert uncapped.count() == 60 * 59 // 2 + 1      # the quadratic blob the cap avoids
+
+
 def test_minhash_exact_dup_estimate_is_one(docs):
     pairs = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
     assert pairs[(0, 1)] == 1.0
