@@ -244,10 +244,15 @@ def h3_kring_np(cell: np.ndarray, k: int) -> np.ndarray:
 
 
 def h3_encode(lat: Column, lon: Column, res: int) -> Column:
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import coalesce, lit, pandas_udf
 
     @pandas_udf(LongType())
     def _enc(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
         return pd.Series(h3_encode_np(lat_s.to_numpy(np.float64), lon_s.to_numpy(np.float64), res))
 
-    return _enc(lat, lon)
+    # the kernel never yields null, but Catalyst can't know that: when the
+    # encoded cell is a join key, the inferred isnotnull(key) filter gets
+    # pushed below the projection and forces a SECOND ArrowEvalPython pass
+    # per row. coalesce(-1) makes the expression provably non-nullable so
+    # the inferred filter is pruned and the UDF runs exactly once.
+    return coalesce(_enc(lat, lon), lit(-1))

@@ -77,23 +77,27 @@ def knn_join(
     qlat = queries["lat"].to_numpy(np.float64)
     qids = queries["query_id"].tolist()
 
+    # cache the pruned 3-column scan FIRST: the extent/count aggregation
+    # fills the cache, so the table is scanned exactly once no matter how
+    # many expansion rounds follow (the cell encode is recomputed per round
+    # on top of the cache — rounds are almost always 1 thanks to the 3x
+    # initial-radius padding, so one scan + one encode total)
     base = points.select(
         F.col(point_id).alias("point_id"), F.col(lon).alias("p_lon"), F.col(lat).alias("p_lat")
-    )
-    ext = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("p_lon").alias("w"), F.max("p_lon").alias("e"),
-        F.min("p_lat").alias("s"), F.max("p_lat").alias("nn"),
-    ).collect()[0]
-    n_pts = ext["n"]
-    area = max(1e-9, (ext["e"] - ext["w"]) * (ext["nn"] - ext["s"])
-               * math.cos(math.radians((ext["s"] + ext["nn"]) / 2.0)))
-    if res is None:
-        res = _pick_res(n_pts, area, k)
-
-    pts = base.withColumn("cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res))
-    pts = pts.persist()
+    ).persist()
     try:
+        ext = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_lon").alias("w"), F.max("p_lon").alias("e"),
+            F.min("p_lat").alias("s"), F.max("p_lat").alias("nn"),
+        ).collect()[0]
+        n_pts = ext["n"]
+        area = max(1e-9, (ext["e"] - ext["w"]) * (ext["nn"] - ext["s"])
+                   * math.cos(math.radians((ext["s"] + ext["nn"]) / 2.0)))
+        if res is None:
+            res = _pick_res(n_pts, area, k)
+
+        pts = base.withColumn("cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res))
         # initial radius: uniform-density estimate of the k-th neighbor
         # distance, padded 3x so the guarantee usually closes on the first
         # pass (each extra pass costs a full join+window round); candidate
@@ -149,4 +153,4 @@ def knn_join(
             schema=topk.schema,
         )
     finally:
-        pts.unpersist()
+        base.unpersist()
