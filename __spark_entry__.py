@@ -215,6 +215,26 @@ def _q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pts, polys, point_id="point_id").select("point_id", "poly_id")
 
 
+def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-res rollup on the true aperture-7 hierarchy: count per res-7
+    cell once, then re-key to the res-5 ancestor with exact lattice-parent
+    math (cells/h3x.h3_parent) — at scale the fine agg is materialized once
+    and any coarser res is a map-side re-key, never a raw re-scan."""
+    from stac_to_geocore_spark.cells.h3x import h3_encode, h3_parent
+
+    pts = _points_df(spark, sf_dir)
+    fine = (
+        pts.withColumn("cell7", h3_encode(F.col("lat"), F.col("lon"), 7))
+        .groupBy("cell7")
+        .agg(F.count(F.lit(1)).alias("n7"))
+    )
+    return (
+        fine.withColumn("cell5", h3_parent(F.col("cell7"), 5))
+        .groupBy("cell5")
+        .agg(F.sum("n7").alias("n"), F.count(F.lit(1)).alias("n_children"))
+    )
+
+
 def _q_pip_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General-polygon PIP: cell-cover filter + exact vectorized ray-cast
     refine on non-convex star rings (spatial/pip.pip_ring_join)."""
@@ -730,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
         "pip_ring": _q_pip_ring,
+        "cell_rollup": _q_cell_rollup,
         "knn_ring": _q_knn,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,

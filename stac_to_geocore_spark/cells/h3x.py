@@ -11,6 +11,10 @@ principles:
   (2 + tau)^r with tau = e^{i*pi/3}; |2+tau|^2 = 7 gives the aperture-7
   subdivision and the classic ~19.1 deg Class-III rotation per level,
   exactly as in the H3 paper.
+- The hierarchy is TRUE aperture-7: parent/children are exact
+  Eisenstein-integer lattice division/multiplication by (2+tau) (each cell
+  has exactly 7 children that round back to it — no float re-encode), so
+  compact/uncompact multi-res covers are exact set operations.
 - Cells at face boundaries are clipped to the face's Voronoi region (each
   point maps to the max-dot face, then to that face's lattice). This yields
   a deterministic total partition of the sphere; unlike Uber's library we do
@@ -201,10 +205,105 @@ def h3_center_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return _xyz_to_latlon(_plane_to_xyz(face, zp))
 
 
+# --- true aperture-7 hierarchy (exact Eisenstein-integer lattice math) ---
+#
+# The res-(r+1) lattice is the res-r lattice multiplied by (2 + tau) in the
+# Eisenstein integers Z[tau] (tau^2 = tau - 1, |2+tau|^2 = 7). Hence:
+#
+#   child center of c with digit d:  c*(2+tau) + d,  d in {0} u units
+#   parent of z:                     hexround(z / (2+tau))
+#                                    = hexround(z * (3-tau) / 7)
+#
+# In axial coords (z = a + b*tau):
+#   z*(2+tau) = (2a - b) + (a + 3b) tau
+#   z*(3-tau) = (3a + b) + (2b - a) tau
+#
+# Every child center satisfies |d/(2+tau)| = 1/sqrt(7) ~ 0.378 < 0.5 (the
+# hex Voronoi inradius in lattice units), so all 7 children round back to
+# their parent — parent/children are exact inverses, no float re-encode.
+
+# the 7 aperture-7 digits in axial (da, db): 0 plus the six Eisenstein units
+_DIGITS = np.array([(0, 0), (1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)], dtype=np.int64)
+
+
+def _parent_ab(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One-level-coarser axial coords: hexround((a + b*tau) / (2+tau))."""
+    return _hex_round((3.0 * a + b) / 7.0, (2.0 * b - a) / 7.0)
+
+
 def h3_parent_np(cell: np.ndarray, parent_res: int) -> np.ndarray:
-    """Deterministic parent: re-encode the cell center at the coarser res."""
-    lat, lon = h3_center_np(cell)
-    return h3_encode_np(lat, lon, parent_res)
+    """Exact aperture-7 parent at `parent_res` (integer lattice division,
+    level by level; supports mixed input resolutions >= parent_res)."""
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    face, a, b, res = h3_unpack(cell)
+    if (res < parent_res).any():
+        raise ValueError("cell res below requested parent_res")
+    res = res.copy()
+    while True:
+        m = res > parent_res
+        if not m.any():
+            break
+        pa, pb = _parent_ab(a[m], b[m])
+        a[m], b[m] = pa, pb
+        res[m] -= 1
+    return _pack(face, a, b, parent_res)
+
+
+def h3_children_np(cell: np.ndarray) -> np.ndarray:
+    """The 7 res+1 children of each cell, shape (n, 7). children[:, 0] is
+    the center child; h3_parent_np(children, res) round-trips exactly."""
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    face, a, b, res = h3_unpack(cell)
+    r0 = int(res[0])
+    if not (res == r0).all():
+        raise ValueError("mixed resolutions in one children call")
+    if r0 >= MAX_RES:
+        raise ValueError(f"children beyond MAX_RES={MAX_RES}")
+    ca = (2 * a - b)[:, None] + _DIGITS[None, :, 0]
+    cb = (a + 3 * b)[:, None] + _DIGITS[None, :, 1]
+    face7 = np.broadcast_to(face[:, None], ca.shape)
+    return _pack(face7, ca, cb, r0 + 1)
+
+
+def h3_compact_np(cells: np.ndarray) -> np.ndarray:
+    """Minimal multi-res representation: wherever all 7 children of a parent
+    are present they are replaced by the parent, cascading finest-to-coarsest
+    (the H3 `compact` operation — what makes multi-res covers cheap to store
+    and join). Input may be mixed-res; output is sorted unique ids."""
+    out = np.unique(np.asarray(cells, dtype=np.int64))
+    if len(out) == 0:
+        return out
+    _, _, _, res_all = h3_unpack(out)
+    for r in range(int(res_all.max()), 0, -1):
+        face, a, b, res = h3_unpack(out)
+        m = res == r
+        if not m.any():
+            continue
+        fine = out[m]
+        parents = h3_parent_np(fine, r - 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = uniq[counts == 7]
+        if len(full) == 0:
+            continue
+        keep = ~np.isin(parents, full)
+        out = np.unique(np.concatenate([out[~m], fine[keep], full]))
+    return out
+
+
+def h3_uncompact_np(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand every cell to its complete res-`res` descendant set (inverse of
+    compact for a full cover). Output is sorted unique ids."""
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.int64))
+    _, _, _, cres = h3_unpack(cells)
+    if (cres > res).any():
+        raise ValueError("cell finer than target res")
+    out = []
+    for r in np.unique(cres):
+        cur = cells[cres == r]
+        for _ in range(res - int(r)):
+            cur = h3_children_np(cur).ravel()
+        out.append(cur)
+    return np.unique(np.concatenate(out))
 
 
 def _disk_offsets(k: int) -> np.ndarray:
@@ -241,6 +340,19 @@ def h3_kring_np(cell: np.ndarray, k: int) -> np.ndarray:
 
 
 # --- Spark surface (Arrow-batched pandas UDFs; no per-row Python) ---
+
+
+def h3_parent(cell: Column, parent_res: int) -> Column:
+    """Column form of the exact aperture-7 parent — the key for multi-res
+    rollups (aggregate at fine res once, roll up to any coarser res with a
+    map-side re-key instead of re-scanning the raw table)."""
+    from pyspark.sql.functions import coalesce, lit, pandas_udf
+
+    @pandas_udf(LongType())
+    def _par(cells: pd.Series) -> pd.Series:
+        return pd.Series(h3_parent_np(cells.to_numpy(np.int64), parent_res))
+
+    return coalesce(_par(cell), lit(-1))
 
 
 def h3_encode(lat: Column, lon: Column, res: int) -> Column:

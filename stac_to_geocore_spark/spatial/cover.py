@@ -129,6 +129,18 @@ def cover_bbox_np(west: float, south: float, east: float, north: float, res: int
     return uniq, full_u
 
 
+def cover_bbox_compact_np(west: float, south: float, east: float, north: float,
+                          res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-res compact cover: interior (fully-inside) cells collapse to
+    their aperture-7 ancestors wherever a complete 7-child set is present;
+    boundary cells stay at `res` for the exact refine. Returns
+    (compact_interior_cells, boundary_cells). Exact inverse:
+    h3_uncompact_np(interior, res) reproduces the fine interior set —
+    the storage/broadcast win for large polygons is ~7x per collapsed level."""
+    cells, full = cover_bbox_np(west, south, east, north, res)
+    return h3x.h3_compact_np(cells[full]), np.sort(cells[~full])
+
+
 COVER_SCHEMA = StructType(
     [
         StructField("poly_id", StringType(), False),

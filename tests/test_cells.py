@@ -81,6 +81,73 @@ class TestH3Style:
         rings = h3x.h3_kring_np(base, 2)
         assert all(near[i] in rings[i] for i in range(200))
 
+    def test_children_parent_roundtrip_exact(self):
+        """True aperture-7: every cell has exactly 7 children and each child
+        maps back to its parent by exact lattice division."""
+        for res in (0, 3, 7, 11):
+            cells = np.unique(h3x.h3_encode_np(LAT, LON, res))
+            kids = h3x.h3_children_np(cells)
+            assert kids.shape == (len(cells), 7)
+            assert len(np.unique(kids)) == 7 * len(cells)  # disjoint child sets
+            back = h3x.h3_parent_np(kids.ravel(), res)
+            assert (back == np.repeat(cells, 7)).all()
+
+    def test_parent_contains_child_center(self):
+        """Each child center lies strictly inside the parent hex Voronoi
+        region (distance 1/sqrt(7) < 1/2 in parent lattice units)."""
+        cells = np.unique(h3x.h3_encode_np(LAT, LON, 8))
+        parents = h3x.h3_parent_np(cells, 7)
+        _, ca, cb, _ = h3x.h3_unpack(cells)
+        _, pa, pb, _ = h3x.h3_unpack(parents)
+        # child center in parent lattice units: (a + b*tau)/(2+tau) - parent
+        z = (ca + cb * complex(0.5, np.sqrt(3) / 2)) / (2 + complex(0.5, np.sqrt(3) / 2))
+        zp = pa + pb * complex(0.5, np.sqrt(3) / 2)
+        assert np.abs(z - zp).max() < 0.5 - 1e-9
+
+    def test_compact_uncompact_roundtrip(self):
+        cells = np.unique(h3x.h3_encode_np(LAT, LON, 6))
+        full = h3x.h3_uncompact_np(cells, 9)          # complete 3-level cover
+        assert len(full) == len(cells) * 7 ** 3
+        compacted = h3x.h3_compact_np(full)
+        assert (compacted == np.sort(cells)).all()    # cascades all the way back
+
+    def test_compact_partial_sets_stay_fine(self):
+        cells = np.unique(h3x.h3_encode_np(LAT[:50], LON[:50], 5))
+        kids = h3x.h3_children_np(cells)
+        partial = kids[:, :6].ravel()                 # 6 of 7 children only
+        assert (h3x.h3_compact_np(partial) == np.sort(partial)).all()
+        mixed = np.concatenate([kids[:1].ravel(), kids[1:, :3].ravel()])
+        got = h3x.h3_compact_np(mixed)
+        assert cells[0] in got and len(got) == 1 + 3 * (len(cells) - 1)
+
+    def test_compact_cover_roundtrip(self):
+        from stac_to_geocore_spark.spatial.cover import cover_bbox_compact_np, cover_bbox_np
+
+        cells, full = cover_bbox_np(-100.0, 45.0, -80.0, 60.0, 7)
+        interior, boundary = cover_bbox_compact_np(-100.0, 45.0, -80.0, 60.0, 7)
+        assert len(interior) < full.sum()  # actually compacted
+        assert (h3x.h3_uncompact_np(interior, 7) == np.sort(cells[full])).all()
+        assert (boundary == np.sort(cells[~full])).all()
+
+    def test_h3_parent_column_rollup(self, spark):
+        from pyspark.sql import functions as F
+
+        pdf = pd.DataFrame({"lat": LAT, "lon": LON})
+        fine = (
+            spark.createDataFrame(pdf)
+            .withColumn("cell7", h3x.h3_encode(F.col("lat"), F.col("lon"), 7))
+            .groupBy("cell7").agg(F.count(F.lit(1)).alias("n7"))
+        )
+        rolled = (
+            fine.withColumn("cell5", h3x.h3_parent(F.col("cell7"), 5))
+            .groupBy("cell5").agg(F.sum("n7").alias("n"))
+        ).toPandas()
+        assert rolled["n"].sum() == len(pdf)  # counts conserved
+        # rollup keys match the exact numpy parent of each fine cell
+        fine_pdf = fine.toPandas()
+        want = set(h3x.h3_parent_np(fine_pdf["cell7"].to_numpy(np.int64), 5))
+        assert set(rolled["cell5"]) == want
+
     def test_parent_res_hierarchy(self):
         c9 = h3x.h3_encode_np(LAT, LON, 9)
         p5 = h3x.h3_parent_np(c9, 5)
