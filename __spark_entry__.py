@@ -215,6 +215,28 @@ def _q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pts, polys, point_id="point_id").select("point_id", "poly_id")
 
 
+def _q_cover_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: covers generated by a LATERAL SQL table function
+    (spatial/cover.register_cover_udtf) over the fixture polygons."""
+    from stac_to_geocore_spark.spatial.cover import register_cover_udtf
+
+    register_cover_udtf(spark)
+    polys = ", ".join(
+        f"('{r.poly_id}', CAST({r.west!r} AS DOUBLE), CAST({r.south!r} AS DOUBLE), "
+        f"CAST({r.east!r} AS DOUBLE), CAST({r.north!r} AS DOUBLE))"
+        for r in _fixture_polygons_pdf().itertuples(index=False)
+    )
+    return spark.sql(
+        f"""
+        SELECT p.poly_id, COUNT(*) AS n_cells,
+               SUM(CASE WHEN c.fully_inside THEN 1 ELSE 0 END) AS n_full
+        FROM VALUES {polys} AS p(poly_id, west, south, east, north),
+             LATERAL cover_cells(p.west, p.south, p.east, p.north, 6) c
+        GROUP BY p.poly_id
+        """
+    )
+
+
 def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-res rollup on the true aperture-7 hierarchy: count per res-7
     cell once, then re-key to the res-5 ancestor with exact lattice-parent
@@ -672,6 +694,33 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs(emb.unionByName(planted), threshold=0.9)
 
 
+def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style snapshot commits + time travel (tables/snapshots.py):
+    v1 = documents ids, v2 = append of ids+10000; both versions read back
+    and aggregated — the oracle derives the same two versions from the
+    documents table directly, so the check is value-exact."""
+    import shutil
+    import tempfile
+
+    from stac_to_geocore_spark.tables.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    root = tempfile.mkdtemp(prefix="snap_gate_")
+    try:
+        t = SnapshotTable(root)
+        t.append(d)
+        t.append(d.select((F.col("doc_id") + 10000).alias("doc_id")))
+        rows = []
+        for v in (1, 2):
+            agg = t.read(spark, version=v).agg(
+                F.count(F.lit(1)).alias("n_rows"), F.sum("doc_id").alias("sum_id")
+            ).collect()[0]
+            rows.append((v, agg["n_rows"], agg["sum_id"]))
+        return spark.createDataFrame(rows, "version int, n_rows long, sum_id long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_geocore_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.compat import translate_items
     from stac_to_geocore_spark.fixtures import stac_collections_df, stac_items_df
@@ -751,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_assign": _q_pip_assign,
         "pip_ring": _q_pip_ring,
         "cell_rollup": _q_cell_rollup,
+        "cover_udtf": _q_cover_udtf,
         "knn_ring": _q_knn,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
@@ -766,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_dedup": _q_embedding_dedup,
+        "snapshot_time_travel": _q_snapshot_time_travel,
         "geocore_translate": _q_geocore_translate,
         "geocore_collections": _q_geocore_collections,
         "geocore_root": _q_geocore_root,
@@ -1047,6 +1098,15 @@ def oracle_sql() -> dict[str, str]:
                          * (1.0 - ROUND(n_punct * 1.0 / n_chars, 4))
                          * ROUND(n_uniq * 1.0 / n_tokens, 4), 4) AS quality
             FROM base
+        """,
+        "snapshot_time_travel": """
+            SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_id
+            FROM documents
+            UNION ALL
+            SELECT CAST(2 AS INT), 2 * COUNT(*),
+                   CAST(2 * SUM(doc_id) + 10000 * COUNT(*) AS BIGINT)
+            FROM documents
         """,
         "embedding_dedup": """
             WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -200,3 +200,27 @@ def covers_df(polys: DataFrame, res_min: int = 5, res_max: int = 9,
                 {f.name: pd.Series(dtype="object") for f in COVER_SCHEMA.fields})
 
     return polys.mapInPandas(gen, COVER_SCHEMA)
+
+
+def register_cover_udtf(spark: SparkSession, name: str = "cover_cells") -> None:
+    """SQL-composable cover generation as a Python UDTF: makes the cell
+    cover a LATERAL table function so pure-SQL users can build spatial
+    filter-refine joins without leaving Spark SQL:
+
+        SELECT p.poly_id, c.cell
+        FROM polys p, LATERAL cover_cells(p.west, p.south, p.east, p.north, 6) c
+
+    Each eval() call runs one vectorized numpy cover (same kernel as
+    covers_df); the UDTF is the per-row table-expansion surface, covers_df
+    the bulk mapInPandas surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="cell bigint, fully_inside boolean")
+    class CoverCells:
+        def eval(self, west, south, east, north, res: int):
+            # SQL decimal literals arrive as decimal.Decimal — coerce
+            cells, full = cover_bbox_np(float(west), float(south), float(east), float(north), int(res))
+            for c, f in zip(cells.tolist(), full.tolist()):
+                yield int(c), bool(f)
+
+    spark.udtf.register(name, CoverCells)

@@ -1,0 +1,118 @@
+"""Iceberg-style snapshot table: versioned commits + time travel.
+
+Extends the lineage layer (tables/lineage.py) the way Iceberg extends a Hive
+table: data files are IMMUTABLE once written; each commit creates a new
+numbered snapshot whose metadata lists the data directories visible at that
+version. Readers pin a version (time travel) or take the latest; writers
+never mutate what a concurrent reader sees.
+
+Layout:
+  <path>/data/s<N>/part-*.parquet   immutable data written by commit N
+  <path>/_snapshots/v<N>.json       {"version", "op", "dirs", "ts"}
+
+Commit protocol: write data -> write v<N>.json.tmp -> os.rename (atomic on
+POSIX). A crash before the rename leaves an orphan data dir that no snapshot
+references — invisible to every reader, reclaimed by `vacuum()`. On a real
+cluster the same metadata flow rides an Iceberg catalog
+(iceberg-spark-runtime); this is the sandbox-local implementation of the
+identical protocol.
+
+The reference anchor is the lastRun.txt delete-then-rewrite cycle
+(s3_operations.py:31-43): its non-atomic replace window is exactly what a
+snapshot pointer swap removes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "_snapshots")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # ----- metadata -----
+
+    def history(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            m = re.fullmatch(r"v(\d+)\.json", fn)
+            if m:
+                with open(os.path.join(self.meta_dir, fn)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda s: s["version"])
+
+    def latest_version(self) -> int:
+        h = self.history()
+        return h[-1]["version"] if h else 0
+
+    def _snapshot(self, version: int) -> dict:
+        p = os.path.join(self.meta_dir, f"v{version}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no snapshot v{version} at {self.path}")
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, op: str, dirs: list[str]) -> int:
+        version = self.latest_version() + 1
+        meta = {"version": version, "op": op, "dirs": dirs, "ts": round(time.time(), 3)}
+        tmp = os.path.join(self.meta_dir, f"v{version}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(self.meta_dir, f"v{version}.json"))  # atomic publish
+        return version
+
+    # ----- writes (each produces a new immutable snapshot) -----
+
+    def _write_data(self, df: DataFrame, version_hint: int) -> str:
+        d = os.path.join(self.data_dir, f"s{version_hint}")
+        df.write.mode("errorifexists").parquet(d)
+        return d
+
+    def append(self, df: DataFrame) -> int:
+        """New snapshot = previous dirs + the new files (Iceberg append)."""
+        prev = self._snapshot(self.latest_version())["dirs"] if self.latest_version() else []
+        d = self._write_data(df, self.latest_version() + 1)
+        return self._commit("append", prev + [d])
+
+    def overwrite(self, df: DataFrame) -> int:
+        """New snapshot sees only the new files; older versions still read
+        the old data (this is what delete-then-write can never give)."""
+        d = self._write_data(df, self.latest_version() + 1)
+        return self._commit("overwrite", [d])
+
+    # ----- reads -----
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Time travel: read the table exactly as of `version` (default
+        latest). Pure metadata — no data is copied or rewritten."""
+        v = self.latest_version() if version is None else version
+        dirs = self._snapshot(v)["dirs"]
+        if not dirs:
+            raise ValueError("empty table")
+        return spark.read.parquet(*dirs)
+
+    def vacuum(self) -> list[str]:
+        """Drop data dirs no live snapshot references (crash orphans or
+        post-retention cleanup). Returns removed dirs."""
+        import shutil
+
+        live: set[str] = set()
+        for s in self.history():
+            live.update(s["dirs"])
+        removed = []
+        if os.path.isdir(self.data_dir):
+            for fn in sorted(os.listdir(self.data_dir)):
+                d = os.path.join(self.data_dir, fn)
+                if d not in live:
+                    shutil.rmtree(d)
+                    removed.append(d)
+        return removed

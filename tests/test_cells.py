@@ -148,6 +148,21 @@ class TestH3Style:
         want = set(h3x.h3_parent_np(fine_pdf["cell7"].to_numpy(np.int64), 5))
         assert set(rolled["cell5"]) == want
 
+    def test_cover_udtf_lateral_matches_numpy(self, spark):
+        from stac_to_geocore_spark.spatial.cover import cover_bbox_np, register_cover_udtf
+
+        register_cover_udtf(spark)
+        got = spark.sql(
+            """
+            SELECT p.poly_id, c.cell, c.fully_inside
+            FROM VALUES ('p0', -100.0, 45.0, -80.0, 60.0) AS p(poly_id, west, south, east, north),
+                 LATERAL cover_cells(p.west, p.south, p.east, p.north, 5) c
+            """
+        ).toPandas().sort_values("cell")
+        cells, full = cover_bbox_np(-100.0, 45.0, -80.0, 60.0, 5)
+        assert (got["cell"].to_numpy() == cells).all()
+        assert (got["fully_inside"].to_numpy() == full).all()
+
     def test_parent_res_hierarchy(self):
         c9 = h3x.h3_encode_np(LAT, LON, 9)
         p5 = h3x.h3_parent_np(c9, 5)

@@ -1,0 +1,62 @@
+"""Snapshot table: append/overwrite versioning, time travel, crash-orphan
+vacuum, and the atomic-publish property the reference's delete-then-write
+cycle lacks."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from stac_to_geocore_spark.tables.snapshots import SnapshotTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.append(_df(spark, 0, 100)) == 1
+    assert t.append(_df(spark, 100, 150)) == 2
+    assert t.read(spark, version=1).count() == 100
+    assert t.read(spark, version=2).count() == 150
+    assert t.read(spark).count() == 150  # latest
+
+
+def test_overwrite_keeps_old_versions_readable(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 100))
+    t.overwrite(_df(spark, 500, 510))
+    assert t.read(spark, version=2).count() == 10
+    old = t.read(spark, version=1)
+    assert old.count() == 100 and old.agg(F.min("doc_id")).collect()[0][0] == 0
+
+
+def test_history_and_ops(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 10))
+    t.overwrite(_df(spark, 0, 5))
+    h = t.history()
+    assert [s["version"] for s in h] == [1, 2]
+    assert [s["op"] for s in h] == ["append", "overwrite"]
+
+
+def test_vacuum_reclaims_unreferenced_orphans(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 10))
+    # simulate a crash between data write and metadata publish
+    _df(spark, 0, 3).write.parquet(os.path.join(t.data_dir, "s99"))
+    assert t.read(spark).count() == 10  # orphan invisible to readers
+    removed = t.vacuum()
+    assert removed == [os.path.join(t.data_dir, "s99")]
+    assert t.read(spark).count() == 10
+
+
+def test_tmp_metadata_never_visible(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 10))
+    # a stale .tmp (crash before rename) must not surface as a snapshot
+    with open(os.path.join(t.meta_dir, "v2.json.tmp"), "w") as f:
+        json.dump({"version": 2, "op": "append", "dirs": []}, f)
+    assert t.latest_version() == 1
+    assert t.read(spark).count() == 10
