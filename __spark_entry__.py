@@ -451,6 +451,138 @@ def _q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share of STANDARD parts sold into the
+    AMERICA region, by order year. Volumes are exact cent^2 int64 products so
+    the share division is identical int/int in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n1 = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
+    n2 = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.ck)
+        .join(F.broadcast(n2), s.s_nationkey == n2.sk)
+        .join(F.broadcast(r), n1.crk == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution (left outer join so
+    zero-order customers count as c_count = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top revenue supplier(s) in 1996Q1 — revenue view + scalar
+    MAX subquery, ties kept; exact cent^2 int64 revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    vol = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(vol).alias("total_c2"))
+    mx = rev.agg(F.max("total_c2").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_c2 == mx.mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_c2")
+    )
+
+
+def _q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the available columns: late = shipped
+    more than 60 days after the order date): for finished multi-supplier
+    orders, count per supplier the orders where it was the ONLY late
+    shipper — semi + anti correlated subqueries as left_semi/left_anti."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")).alias("late"),
+    )
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    late = l.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("other_sk")
+    )
+    only_late = (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("ok")) & (F.col("l_suppkey") != F.col("other_sk")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        only_late.join(s, only_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def _q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: country code := c_custkey % 10, dormant :=
+    no orders on/after 1999-01-01): positive-balance customers above the
+    segment average with no recent orders, grouped by code. The average
+    comparison is exact integer cross-multiplication (bal*n > sum)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 10).alias("code"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    pos = c.filter(F.col("bal_c") > 0)
+    stats = pos.agg(F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n"))
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    eligible = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return eligible.groupBy("code").agg(
+        F.count(F.lit(1)).alias("numcust"), F.sum("bal_c").alias("totbal_c")
+    )
+
+
 def _q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -651,6 +783,11 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-filtered exact n-gram Jaccard vs a brute-force all-pairs DuckDB
+    oracle. The hash check is sound because every >=0.4 pair in the synthetic
+    corpus is a strong near-dup (J >= 0.9), where 16-band/4-row MinHash
+    recall is ~1-4e-8 per pair (and deterministic under the fixed seed) —
+    so filter-and-verify returns exactly the brute-force set."""
     from stac_to_geocore_spark.text.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -783,6 +920,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": _q16_supplier_count,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive": _q19_disjunctive,
+        "q8_market_share": _q8_market_share,
+        "q13_custdist": _q13_custdist,
+        "q15_top_supplier": _q15_top_supplier,
+        "q21_late_suppliers": _q21_late_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
         "rollup_summary": _q_rollup_summary,
         "customers_without_orders": _q_customers_without_orders,
         "top_customers_window": _q_top_customers,
@@ -914,6 +1056,76 @@ def oracle_sql() -> dict[str, str]:
                   (p_size <= 5 AND l_quantity BETWEEN 10 AND 30)
                OR (p_size <= 15 AND l_quantity BETWEEN 20 AND 40)
                OR p_brand = 'Brand#1')
+        """,
+        "q8_market_share": """
+            WITH vol AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS v,
+                     n2.n_name AS supp_nation
+              FROM lineitem, orders, customer, supplier, part, nation n1, nation n2, region
+              WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey
+                AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+                AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey)
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) * 1.0
+                         / SUM(v), 6) AS mkt_share
+            FROM vol GROUP BY o_year
+        """,
+        "q13_custdist": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c2
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_c2
+            FROM supplier, rev
+            WHERE s_suppkey = l_suppkey AND total_c2 = (SELECT MAX(total_c2) FROM rev)
+        """,
+        "q21_late_suppliers": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'),
+            multi AS (
+              SELECT l_orderkey FROM l GROUP BY l_orderkey
+              HAVING COUNT(DISTINCT l_suppkey) > 1),
+            late AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+            SELECT s_name, COUNT(*) AS numwait
+            FROM late l1 JOIN multi USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE NOT EXISTS (SELECT 1 FROM late l2
+                              WHERE l2.l_orderkey = l1.l_orderkey
+                                AND l2.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+        """,
+        "q22_sales_opportunity": """
+            WITH c2 AS (
+              SELECT c_custkey, c_custkey % 10 AS code,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+              FROM customer),
+            stats AS (
+              SELECT CAST(SUM(bal_c) AS BIGINT) AS s, COUNT(*) AS n
+              FROM c2 WHERE bal_c > 0)
+            SELECT code, COUNT(*) AS numcust, CAST(SUM(bal_c) AS BIGINT) AS totbal_c
+            FROM c2, stats
+            WHERE bal_c * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01')
+            GROUP BY code
         """,
         "rollup_summary": """
             SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
@@ -1098,6 +1310,21 @@ def oracle_sql() -> dict[str, str]:
                          * (1.0 - ROUND(n_punct * 1.0 / n_chars, 4))
                          * ROUND(n_uniq * 1.0 / n_tokens, 4), 4) AS quality
             FROM base
+        """,
+        "ngram_jaccard": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(1, len(toks)-2))]) AS grams
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a, g b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.grams, b.grams)) * 1.0
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.4
         """,
         "snapshot_time_travel": """
             SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
