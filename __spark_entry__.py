@@ -794,6 +794,20 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.4)
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: LSH near-dup pairs -> connected components (min-
+    label propagation, text/components.py) -> canonical keeper per cluster.
+    Oracle: the same pair set brute-forced in SQL, closed transitively with
+    a recursive CTE."""
+    from stac_to_geocore_spark.text.components import dedup_keepers
+    from stac_to_geocore_spark.text.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    return dedup_keepers(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component"), "keep"
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.ann import lsh_topk
 
@@ -856,6 +870,30 @@ def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "version int, n_rows long, sum_id long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_stac_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAC as a Spark Python Data Source (sources/stac_source.py): page
+    walk = partition planning, one InputPartition per non-empty /search
+    page, typed rows without schema inference. Covers SURVEY §2 S1-S3
+    through the gate (driven by the deterministic in-process fake API)."""
+    from stac_to_geocore_spark.sources.stac_source import StacDataSource
+
+    spark.dataSource.register(StacDataSource)
+    from stac_to_geocore_spark.fixtures import API_ROOT
+
+    df = (
+        spark.read.format("stac")
+        .option("api_root", API_ROOT)
+        .option("fetch", "stac_to_geocore_spark.fixtures:fake_fetch_factory")
+        .option("n_items", "95")
+        .load()
+    )
+    return df.select(
+        "id", "collection",
+        F.size("links").alias("n_links"), F.size(F.map_keys("assets")).alias("n_assets"),
+        F.col("properties.datetime").alias("item_datetime"),
+    )
 
 
 def _q_geocore_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,10 +993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_dedup": _q_embedding_dedup,
         "snapshot_time_travel": _q_snapshot_time_travel,
+        "stac_source_scan": _q_stac_source,
         "geocore_translate": _q_geocore_translate,
         "geocore_collections": _q_geocore_collections,
         "geocore_root": _q_geocore_root,
@@ -1325,6 +1365,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.grams, b.grams)) * 1.0
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.4
+        """,
+        "dedup_components": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(1, len(toks)-2))]) AS grams
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a, g b
+              WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.grams, b.grams)) * 1.0
+                    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.4),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              WITH RECURSIVE r(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node)
+              SELECT node, MIN(lbl) AS component FROM r GROUP BY node)
+            SELECT node AS doc_id, component, node = component AS keep FROM reach
         """,
         "snapshot_time_travel": """
             SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

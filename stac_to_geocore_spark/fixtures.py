@@ -461,3 +461,14 @@ def stac_collections_df(spark: SparkSession, seed: int = DEFAULT_SEED) -> DataFr
 
 def stac_items_df(spark: SparkSession, n: int = 240, seed: int = DEFAULT_SEED) -> DataFrame:
     return spark.createDataFrame(stac_items_fixture(n, seed), STAC_ITEM_SCHEMA)
+
+
+def fake_fetch_factory(options: dict):
+    """Fetch factory for the `stac` Python data source (sources/stac_source):
+    option fetch="stac_to_geocore_spark.fixtures:fake_fetch_factory" routes
+    the source's page reads to the deterministic in-process fake API."""
+    return make_fake_stac_fetch(
+        n_items=int(options.get("n_items", 240)),
+        page_size=int(options.get("page_size", 30)),
+        seed=int(options.get("seed", DEFAULT_SEED)),
+    )

@@ -1,0 +1,99 @@
+"""STAC API as a first-class Spark data source (Python Data Source API).
+
+    spark.dataSource.register(StacDataSource)
+    items = (spark.read.format("stac")
+             .option("api_root", "https://datacube.services.geo.ca/api")
+             .load())
+
+The reference walks /search pages serially inline with translation
+(pagination.py:5-61). Here the page walk IS partition planning — it runs
+once on the driver inside `partitions()` (same rules as
+sources/harvest.plan_pages: non-200 stops, empty pages dropped, Franklin's
+trailing-next quirk handled via returned>=matched), and every page URL
+becomes one InputPartition, so the fetch+parse fans out across executors
+and composes with the whole DataFrame surface (pushdown-ready projections,
+joins, writes) without any bespoke driver code.
+
+Options:
+  api_root   (required) STAC API root; pages planned from <api_root>/search
+  fetch      "http" (default) or "module:callable" — a factory called with
+             the options dict returning fetch(url) -> (status, json_dict);
+             lets tests run the deterministic in-process fake API.
+  max_pages  planner page cap (default 10000)
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def _resolve_fetch(options: dict):
+    spec = options.get("fetch", "http")
+    if spec == "http":
+        from stac_to_geocore_spark.sources.harvest import http_fetch
+
+        return http_fetch
+    mod, _, attr = spec.partition(":")
+    factory = getattr(importlib.import_module(mod), attr)
+    return factory(options)
+
+
+def _conv(value, dtype):
+    """JSON value -> tuple-shaped row matching the Spark type (structs as
+    tuples in field order, the layout the Python data source API expects)."""
+    if value is None:
+        return None
+    if isinstance(dtype, StructType):
+        return tuple(_conv(value.get(f.name), f.dataType) for f in dtype.fields)
+    if isinstance(dtype, ArrayType):
+        return [_conv(v, dtype.elementType) for v in value]
+    if isinstance(dtype, MapType):
+        return {k: _conv(v, dtype.valueType) for k, v in value.items()}
+    return value
+
+
+class _StacPage(InputPartition):
+    def __init__(self, url: str):
+        self.url = url
+
+
+class _StacItemsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._options = dict(options)
+
+    def partitions(self) -> list[InputPartition]:
+        from stac_to_geocore_spark.sources.harvest import plan_pages
+
+        fetch = _resolve_fetch(self._options)
+        root = self._options["api_root"].rstrip("/")
+        max_pages = int(self._options.get("max_pages", 10_000))
+        return [_StacPage(u) for u in plan_pages(fetch, f"{root}/search", max_pages)]
+
+    def read(self, partition: _StacPage) -> Iterator[tuple]:
+        fetch = _resolve_fetch(self._options)
+        status, body = fetch(partition.url)
+        if status != 200:  # non-200 pages contribute 0 rows (ref app.py P9)
+            return
+        for feat in body.get("features", []):
+            yield _conv(feat, self._schema)
+
+
+class StacDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "stac"
+
+    def schema(self) -> StructType:
+        from stac_to_geocore_spark.fixtures import STAC_ITEM_SCHEMA
+
+        return STAC_ITEM_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if "api_root" not in self.options:
+            raise ValueError("stac source requires option 'api_root'")
+        return _StacItemsReader(schema, self.options)

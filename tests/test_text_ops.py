@@ -55,6 +55,21 @@ def test_minhash_band_cap_bounds_boilerplate_blowup(spark):
     assert uncapped.count() == 60 * 59 // 2 + 1      # the quadratic blob the cap avoids
 
 
+def test_connected_components_multi_hop(spark):
+    """Chain 1-2-3-4 (diameter 3, needs >1 propagation round), a separate
+    pair, and a triangle — labels must converge to the component minimum."""
+    from stac_to_geocore_spark.text.components import connected_components, dedup_keepers
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    keep = {r["node"] for r in dedup_keepers(pairs).filter("keep").collect()}
+    assert keep == {1, 10, 20}
+
+
 def test_minhash_exact_dup_estimate_is_one(docs):
     pairs = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
     assert pairs[(0, 1)] == 1.0
