@@ -685,6 +685,21 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "asof_o_orderkey", "asof_ts_epoch")
 
 
+def _q_asof_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-broadcast as-of plan (tag-union + running-max window, one
+    narrow shuffle, no join at all) — same semantics, same oracle as the
+    broadcast path."""
+    from stac_to_geocore_spark.relational import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    return asof_join(
+        e, o, left_key="user_id", right_key="o_custkey",
+        left_ts=F.col("ts"), right_ts=F.col("o_orderdate"), right_id="o_orderkey",
+        broadcast_right=False,
+    ).select("event_id", "user_id", "asof_o_orderkey", "asof_ts_epoch")
+
+
 def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -973,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_json_extract": _q_events_json,
         "asof_latest_order": _q_asof_join,
+        "asof_merge_path": _q_asof_join_merge,
         "q17_small_quantity": _q17_small_quantity,
         "cube_summary": _q_cube_summary,
         "cell_stats_grouped_map": _q_cell_stats,
@@ -1202,6 +1218,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_partkey = pk AND 5 * CAST(l_quantity AS BIGINT) * qty_cnt < qty_sum
         """,
         "asof_latest_order": """
+            SELECT event_id, user_id,
+                   CAST(mx % 100000000 AS BIGINT) AS asof_o_orderkey,
+                   CAST(mx // 100000000 AS BIGINT) AS asof_ts_epoch
+            FROM (
+              SELECT e.event_id, e.user_id,
+                     MAX(CAST(epoch(o.o_orderdate) AS BIGINT) * 100000000 + o.o_orderkey) AS mx
+              FROM events e JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+              GROUP BY e.event_id, e.user_id)
+        """,
+        "asof_merge_path": """
             SELECT event_id, user_id,
                    CAST(mx % 100000000 AS BIGINT) AS asof_o_orderkey,
                    CAST(mx // 100000000 AS BIGINT) AS asof_ts_epoch
