@@ -860,6 +860,59 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs(emb.unionByName(planted), threshold=0.9)
 
 
+def _q_csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 (Export-to-csv.py): parquet -> csv -> read back typed. The oracle
+    reads the same parquet directly, so the hash check proves the export
+    loses nothing."""
+    import shutil
+    import tempfile
+
+    from stac_to_geocore_spark.sources.sinks import export_csv
+
+    out = tempfile.mkdtemp(prefix="csv_gate_")
+    try:
+        export_csv(spark, f"{sf_dir}/nation.parquet", out)
+        back = (
+            spark.read.option("header", True).csv(out)
+            .select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                "n_name",
+                F.col("n_regionkey").cast("long").alias("n_regionkey"),
+            )
+        )
+        rows = back.collect()  # tiny dim; materialize before the dir vanishes
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _q_harvest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference job through the gate: harvest (fake STAC API) ->
+    translate root/collections/items -> delete-prev -> per-record puts ->
+    executor-side manifest (job.run_harvest, SURVEY §3.1). Returns one row
+    per stored object (key + md5) plus the manifest row — deterministic
+    byte contract, rows-only (json md5 is not ANSI-SQL-expressible)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from stac_to_geocore_spark.fixtures import API_ROOT, make_fake_stac_fetch
+    from stac_to_geocore_spark.job import run_harvest
+    from stac_to_geocore_spark.sources.sinks import LocalObjectStore
+
+    store_root = tempfile.mkdtemp(prefix="harvest_gate_")
+    try:
+        run_harvest(spark, API_ROOT, store_root, fetch=make_fake_stac_fetch(n_items=60))
+        store = LocalObjectStore(store_root)
+        rows = []
+        for key in store.list():
+            text = store.get(key)
+            rows.append((key, len(text), hashlib.md5(text.encode("utf-8")).hexdigest()))
+        return spark.createDataFrame(rows, "key string, n_bytes long, md5 string")
+    finally:
+        shutil.rmtree(store_root, ignore_errors=True)
+
+
 def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style snapshot commits + time travel (tables/snapshots.py):
     v1 = documents ids, v2 = append of ids+10000; both versions read back
@@ -1015,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _q_embedding_dedup,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "stac_source_scan": _q_stac_source,
+        "csv_export_roundtrip": _q_csv_export_roundtrip,
+        "harvest_sink_job": _q_harvest_sink,
         "geocore_translate": _q_geocore_translate,
         "geocore_collections": _q_geocore_collections,
         "geocore_root": _q_geocore_root,
@@ -1392,6 +1447,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.grams, b.grams)) * 1.0
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.4
+        """,
+        "csv_export_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "dedup_components": r"""
             WITH g AS (
