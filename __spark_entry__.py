@@ -268,6 +268,21 @@ def _q_pip_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_ring_join(_points_df(spark, sf_dir), rings)
 
 
+def _q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew path of the PIP join: forced shuffle join with salted cell
+    keys (salt_factor=4) — must produce the identical assignment set as the
+    broadcast path, checked against the same SQL containment oracle."""
+    from stac_to_geocore_spark.spatial.pip import pip_join
+
+    from stac_to_geocore_spark.fixtures import POLYGONS_SCHEMA
+
+    polys = spark.createDataFrame(_fixture_polygons_pdf(), POLYGONS_SCHEMA)
+    pts = _points_df(spark, sf_dir)
+    return pip_join(
+        pts, polys, point_id="point_id", broadcast_covers=False, salt_factor=4
+    ).select("point_id", "poly_id")
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
@@ -1047,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_stats_grouped_map": _q_cell_stats,
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
+        "pip_salted": _q_pip_salted,
         "pip_ring": _q_pip_ring,
         "cell_rollup": _q_cell_rollup,
         "cover_udtf": _q_cover_udtf,
@@ -1360,6 +1376,12 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
         """,
         "pip_assign": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT point_id, poly_id
+            FROM pts, {polys}
+            WHERE lon >= west AND lon <= east AND lat >= south AND lat <= north
+        """,
+        "pip_salted": f"""
             WITH pts AS ({_POINTS_SQL})
             SELECT point_id, poly_id
             FROM pts, {polys}
