@@ -186,14 +186,26 @@ def h3_unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.
     return face, a, b, res
 
 
+def h3_encode_multi_np(xyz: np.ndarray, res_list: list[int]) -> list[np.ndarray]:
+    """Unit-sphere xyz -> cell ids at SEVERAL resolutions with one face
+    selection + one gnomonic projection (the shared-projection entry point
+    for fused encode kernels: face/plane work dominates, lattice rounding
+    per extra res is cheap)."""
+    for res in res_list:
+        if not MIN_RES <= res <= MAX_RES:
+            raise ValueError(f"res must be in [{MIN_RES}, {MAX_RES}]")
+    face, zp = _xyz_to_face_plane(xyz)
+    out = []
+    for res in res_list:
+        a, b = _lattice_ab(zp, res)
+        out.append(_pack(face, a, b, res))
+    return out
+
+
 def h3_encode_np(lat_deg, lon_deg, res: int) -> np.ndarray:
     """lat/lon degrees -> cell id at resolution `res` (vectorized)."""
-    if not MIN_RES <= res <= MAX_RES:
-        raise ValueError(f"res must be in [{MIN_RES}, {MAX_RES}]")
     xyz = _latlon_to_xyz(np.asarray(lat_deg, np.float64), np.asarray(lon_deg, np.float64))
-    face, zp = _xyz_to_face_plane(xyz)
-    a, b = _lattice_ab(zp, res)
-    return _pack(face, a, b, res)
+    return h3_encode_multi_np(xyz, [res])[0]
 
 
 def h3_center_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

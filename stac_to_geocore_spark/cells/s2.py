@@ -97,11 +97,12 @@ def _face_ij_to_leaf(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarr
     return ((n << np.uint64(1)) | np.uint64(1)).astype(np.int64)  # two's-complement int64 view
 
 
-def s2_encode_np(lat_deg: np.ndarray, lon_deg: np.ndarray, level: int = 12) -> np.ndarray:
-    """lat/lon degrees -> S2 cell id (int64 two's-complement view) at `level`."""
+def s2_encode_xyz_np(x: np.ndarray, y: np.ndarray, z: np.ndarray, level: int = 12) -> np.ndarray:
+    """Unit-sphere xyz -> S2 cell id at `level` (the shared-projection entry
+    point: fused multi-encoder kernels compute xyz once and feed every
+    cell system from it)."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
-    x, y, z = _latlon_to_xyz(np.asarray(lat_deg, dtype=np.float64), np.asarray(lon_deg, dtype=np.float64))
     face, u, v = _xyz_to_face_uv(x, y, z)
     i = _st_to_ij(_uv_to_st(u))
     j = _st_to_ij(_uv_to_st(v))
@@ -111,6 +112,12 @@ def s2_encode_np(lat_deg: np.ndarray, lon_deg: np.ndarray, level: int = 12) -> n
     lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
     cell = (leaf & ~(np.uint64(2) * lsb - np.uint64(1))) | lsb
     return cell.view(np.int64)
+
+
+def s2_encode_np(lat_deg: np.ndarray, lon_deg: np.ndarray, level: int = 12) -> np.ndarray:
+    """lat/lon degrees -> S2 cell id (int64 two's-complement view) at `level`."""
+    x, y, z = _latlon_to_xyz(np.asarray(lat_deg, dtype=np.float64), np.asarray(lon_deg, dtype=np.float64))
+    return s2_encode_xyz_np(x, y, z, level)
 
 
 def s2_parent_np(cell: np.ndarray, level: int) -> np.ndarray:

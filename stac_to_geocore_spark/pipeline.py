@@ -21,26 +21,52 @@ broadcast-join -> filter: no shuffle of the 10^12-row side at all.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stac_to_geocore_spark.cells.h3x import h3_encode
-from stac_to_geocore_spark.cells.s2 import s2_encode
 from stac_to_geocore_spark.cells.tiles import tile_x_expr, tile_y_expr
 from stac_to_geocore_spark.spatial.cover import covers_df
 
 COVER_RES = 5
 
 
+def _fused_cells_udf(res: int, s2_level: int):
+    """ONE Arrow round trip and ONE lat/lon->xyz projection for all three
+    cell ids (h3 at `res`, h3 at COVER_RES, s2 at `s2_level`). The separate
+    h3_encode/s2_encode UDFs each redo the trig+face selection; fusing them
+    cuts the python-side encode work ~2x on the flagship hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    from stac_to_geocore_spark.cells import h3x
+    from stac_to_geocore_spark.cells.s2 import s2_encode_xyz_np
+
+    @pandas_udf("h3 long, cover long, s2 long")
+    def _enc(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
+        lat = lat_s.to_numpy(np.float64)
+        lon = lon_s.to_numpy(np.float64)
+        xyz = h3x._latlon_to_xyz(lat, lon)
+        h3_r, cover = h3x.h3_encode_multi_np(xyz, [res, COVER_RES])
+        s2c = s2_encode_xyz_np(xyz[..., 0], xyz[..., 1], xyz[..., 2], s2_level)
+        return pd.DataFrame({"h3": h3_r, "cover": cover, "s2": s2c})
+
+    return _enc
+
+
 def encode_stage(images: DataFrame, res: int = 7, s2_level: int = 12, zoom: int = 12) -> DataFrame:
-    """Cell/tile encoding: one projection, no shuffle."""
-    return images.select(
+    """Cell/tile encoding: one projection, no shuffle, one fused UDF."""
+    enc = _fused_cells_udf(res, s2_level)
+    cells = enc(F.col("lat"), F.col("lon")).alias("_cells")
+    return images.select("image_id", "lon", "lat", cells).select(
         "image_id",
         "lon",
         "lat",
-        h3_encode(F.col("lat"), F.col("lon"), res).alias(f"h3_r{res}"),
-        h3_encode(F.col("lat"), F.col("lon"), COVER_RES).alias("cell_p5"),
-        s2_encode(F.col("lat"), F.col("lon"), s2_level).alias(f"s2_l{s2_level}"),
+        F.col("_cells.h3").alias(f"h3_r{res}"),
+        # coalesce: provably non-null join key so Catalyst's inferred
+        # isnotnull filter is pruned instead of forcing a second UDF pass
+        F.coalesce(F.col("_cells.cover"), F.lit(-1)).alias("cell_p5"),
+        F.col("_cells.s2").alias(f"s2_l{s2_level}"),
         tile_x_expr(F.col("lon"), zoom).alias(f"tile_z{zoom}_x"),
         tile_y_expr(F.col("lat"), zoom).alias(f"tile_z{zoom}_y"),
     )
