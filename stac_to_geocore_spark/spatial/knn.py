@@ -96,8 +96,6 @@ def knn_join(
                    * math.cos(math.radians((ext["s"] + ext["nn"]) / 2.0)))
         if res is None:
             res = _pick_res(n_pts, area, k)
-
-        pts = base.withColumn("cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res))
         # initial radius: uniform-density estimate of the k-th neighbor
         # distance, padded 3x so the guarantee usually closes on the first
         # pass (each extra pass costs a full join+window round); candidate
@@ -105,17 +103,32 @@ def knn_join(
         R = 3.0 * math.sqrt(max(1e-12, k * area / (math.pi * max(1, n_pts))))
         for _ in range(max_iter):
             cell_rows = []
+            bbox_pred = None
             for i, qid in enumerate(qids):
                 cos_f = max(0.05, math.cos(math.radians(min(89.0, abs(qlat[i]) + R))))
-                cells, _full = cover_bbox_np(
-                    qlon[i] - R / cos_f, max(-89.9, qlat[i] - R),
-                    qlon[i] + R / cos_f, min(89.9, qlat[i] + R), res,
-                )
+                w, s = qlon[i] - R / cos_f, max(-89.9, qlat[i] - R)
+                e, n = qlon[i] + R / cos_f, min(89.9, qlat[i] + R)
+                cells, _full = cover_bbox_np(w, s, e, n, res)
                 cell_rows.extend(
                     (qid, float(qlon[i]), float(qlat[i]), int(c)) for c in cells
                 )
+                # JVM-side pre-filter: any point with scaled distance <= R
+                # lies inside this bbox (dy <= R; dx <= R implies
+                # dlon <= R/cos), so dropping out-of-bbox points BEFORE the
+                # python cell encode cannot remove a true top-k member once
+                # the <=0.98R exactness check passes — out-of-bbox points
+                # all have distance > R >= kth distance. Uncached, this is
+                # also the predicate parquet min/max pruning wants.
+                q_pred = (
+                    (F.col("p_lon") >= w) & (F.col("p_lon") <= e)
+                    & (F.col("p_lat") >= s) & (F.col("p_lat") <= n)
+                )
+                bbox_pred = q_pred if bbox_pred is None else (bbox_pred | q_pred)
             cells_df = spark.createDataFrame(
                 cell_rows, "query_id string, q_lon double, q_lat double, cell long"
+            )
+            pts = base.filter(bbox_pred).withColumn(
+                "cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res)
             )
             mid = F.radians((F.col("q_lat") + F.col("p_lat")) / 2.0)
             dx = (F.col("q_lon") - F.col("p_lon")) * F.cos(mid)
