@@ -62,14 +62,37 @@ def pip_join(
     None lets Catalyst/AQE decide from size stats.
     salt_factor > 0 salts the join key (use for skewed cells when the cover
     side must shuffle).
+    driver_plan_max: polygon sets at or below this size plan their covers on
+    the driver (pure numpy, zero extra Spark jobs) and contribute a JVM-side
+    bbox-union pre-filter on the points — only points inside some polygon
+    bbox can ever be assigned (the refine predicate enforces exactly that),
+    so the python cell encode runs over the pre-filtered subset and, on an
+    uncached table, the predicate is what parquet min/max pruning pushes
+    down. Bigger polygon tables go through the distributed covers_df path.
     """
-    covers = covers_df(polygons, res_min, res_max, max_cells, fixed_res)
+    driver_plan_max = 10_000
+    n_polys = polygons.count()
+    pts = points.select(point_id, lon, lat)
+    if n_polys <= driver_plan_max:
+        from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, covers_pdf
+
+        cov_pdf = covers_pdf(polygons.toPandas(), res_min, res_max, max_cells, fixed_res)
+        covers = points.sparkSession.createDataFrame(cov_pdf, COVER_SCHEMA)
+        res_rows = sorted(int(r) for r in cov_pdf["res"].unique())
+        pred = None
+        for row in cov_pdf[["poly_id", "west", "south", "east", "north"]].drop_duplicates("poly_id").itertuples(index=False):
+            q = (
+                (F.col(lon) >= float(row.west)) & (F.col(lon) <= float(row.east))
+                & (F.col(lat) >= float(row.south)) & (F.col(lat) <= float(row.north))
+            )
+            pred = q if pred is None else (pred | q)
+        if pred is not None:
+            pts = pts.filter(pred)
+    else:
+        covers = covers_df(polygons, res_min, res_max, max_cells, fixed_res)
+        res_rows = [r.res for r in covers.select("res").distinct().collect()]
     if broadcast_covers is True:
         covers = F.broadcast(covers)
-    # cache-worthy: used once per distinct res
-    res_rows = [r.res for r in covers.select("res").distinct().collect()]
-
-    pts = points.select(point_id, lon, lat)
     out = None
     for res in sorted(res_rows):
         cov_r = covers.filter(F.col("res") == res)
