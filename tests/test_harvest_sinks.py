@@ -126,3 +126,35 @@ def test_stac_python_data_source(spark):
         )
 
     assert canon(df) == canon(want)
+
+
+def test_stac_streaming_source_available_now(spark, tmp_path):
+    """Incremental harvest as a stream: availableNow drains all pages in
+    page-sized micro-batches through the checkpointed offset, landing the
+    same 95 items the batch path reads (4 pages, 2 per micro-batch)."""
+    from stac_to_geocore_spark.sources.stac_source import StacDataSource
+
+    spark.dataSource.register(StacDataSource)
+    stream = (
+        spark.readStream.format("stac")
+        .option("api_root", API_ROOT)
+        .option("fetch", "stac_to_geocore_spark.fixtures:fake_fetch_factory")
+        .option("n_items", "95")
+        .option("pages_per_batch", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stac_stream_items")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # drains in 2-page micro-batches until read() stops advancing the
+        # offset (pages_done == 4), then processAllAvailable unblocks
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT id, collection FROM stac_stream_items").toPandas()
+    assert len(got) == 95
+    assert got["id"].is_unique
