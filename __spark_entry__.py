@@ -237,6 +237,17 @@ def _q_cover_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bbox_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-region spatial join (spatial/overlap.py): fixture polygons
+    self-joined for bbox intersection via shared cell covers; oracle is the
+    brute-force pairwise intersection predicate."""
+    from stac_to_geocore_spark.fixtures import POLYGONS_SCHEMA
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    polys = spark.createDataFrame(_fixture_polygons_pdf(), POLYGONS_SCHEMA)
+    return bbox_overlap_join(polys, polys).filter(F.col("id_a") < F.col("id_b"))
+
+
 def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-res rollup on the true aperture-7 hierarchy: count per res-7
     cell once, then re-key to the res-5 ancestor with exact lattice-parent
@@ -1063,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
         "pip_salted": _q_pip_salted,
+        "bbox_overlap": _q_bbox_overlap,
         "pip_ring": _q_pip_ring,
         "cell_rollup": _q_cell_rollup,
         "cover_udtf": _q_cover_udtf,
@@ -1397,6 +1409,13 @@ def oracle_sql() -> dict[str, str]:
               FROM pts p, {_ring_edges_sql()})
             SELECT point_id, poly_id
             FROM c GROUP BY point_id, poly_id HAVING SUM(hit) % 2 = 1
+        """,
+        "bbox_overlap": f"""
+            SELECT a.poly_id AS id_a, b.poly_id AS id_b
+            FROM {polys.replace("AS polys(", "AS a(")}, {polys.replace("AS polys(", "AS b(")}
+            WHERE a.poly_id < b.poly_id
+              AND a.west <= b.east AND a.east >= b.west
+              AND a.south <= b.north AND a.north >= b.south
         """,
         "knn_ring": f"""
             WITH pts AS ({_POINTS_SQL}),

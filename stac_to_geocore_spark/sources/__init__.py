@@ -5,4 +5,6 @@ from stac_to_geocore_spark.sources.harvest import (
     plan_pages,
 )
 
-__all__ = ["plan_pages", "fetch_items_df", "harvest", "http_fetch"]
+from stac_to_geocore_spark.sources.stac_source import StacDataSource
+
+__all__ = ["plan_pages", "fetch_items_df", "harvest", "http_fetch", "StacDataSource"]

@@ -5,6 +5,7 @@ from stac_to_geocore_spark.text.dedup import (
     simhash64,
 )
 from stac_to_geocore_spark.text.analysis import doc_fingerprint, langid, quality_score
+from stac_to_geocore_spark.text.components import connected_components, dedup_keepers
 
 __all__ = [
     "minhash_signatures",
@@ -14,4 +15,6 @@ __all__ = [
     "langid",
     "quality_score",
     "doc_fingerprint",
+    "connected_components",
+    "dedup_keepers",
 ]

@@ -123,3 +123,31 @@ def test_flagship_salted_path_same_result(spark, points_pdf, polys_pdf):
         for r in flagship(pts, polys, broadcast_covers=False, salt_factor=8).collect()
     }
     assert plain == salted
+
+
+def test_bbox_overlap_join_vs_brute_force(spark):
+    """Region-region bbox overlap: cover equi-join + refine must equal the
+    O(n*m) predicate — including containment, edge-touching, and disjoint."""
+    import itertools
+
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    rows = [
+        ("p0", -100.0, 40.0, -90.0, 50.0),
+        ("p1", -95.0, 45.0, -85.0, 55.0),    # overlaps p0
+        ("p2", -98.0, 42.0, -96.0, 44.0),    # contained in p0
+        ("p3", -90.0, 50.0, -80.0, 60.0),    # touches p0 at a corner
+        ("p4", -60.0, 40.0, -50.0, 50.0),    # disjoint
+        ("p5", -120.0, 70.0, -60.0, 80.0),   # wide northern strip
+    ]
+    schema = "poly_id string, west double, south double, east double, north double"
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.id_a, r.id_b)
+        for r in bbox_overlap_join(df, df).filter("id_a < id_b").collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(rows, 2):
+        if a[1] <= b[3] and a[3] >= b[1] and a[2] <= b[4] and a[4] >= b[2]:
+            want.add((a[0], b[0]))
+    assert got == want and ("p0", "p3") in got and ("p0", "p2") in got
