@@ -726,6 +726,27 @@ def _q_asof_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "asof_o_orderkey", "asof_ts_epoch")
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (relational.range_join): events falling
+    inside 6-hour windows opened by a sampled subset of events. Bucketed
+    equi-join (1-hour buckets) + exact refine, vs the plain non-equi join
+    in SQL."""
+    from stac_to_geocore_spark.relational import range_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    iv = (
+        e.filter(F.col("event_id") % 199 == 0)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("win_start"),
+            F.expr("ts + INTERVAL 6 HOURS").alias("win_end"),
+        )
+    )
+    out = range_join(e, iv, F.col("ts"), F.col("win_start"), F.col("win_end"),
+                     bucket_seconds=3600)
+    return out.select("event_id", "window_id")
+
+
 def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -1068,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _q_events_json,
         "asof_latest_order": _q_asof_join,
         "asof_merge_path": _q_asof_join_merge,
+        "range_join_events": _q_range_join,
         "q17_small_quantity": _q17_small_quantity,
         "cube_summary": _q_cube_summary,
         "cell_stats_grouped_map": _q_cell_stats,
@@ -1321,6 +1343,13 @@ def oracle_sql() -> dict[str, str]:
               FROM events e JOIN orders o
                 ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
               GROUP BY e.event_id, e.user_id)
+        """,
+        "range_join_events": """
+            SELECT e.event_id, w.event_id AS window_id
+            FROM events e JOIN events w
+              ON w.event_id % 199 = 0
+             AND e.ts >= w.ts
+             AND e.ts <= w.ts + INTERVAL 6 HOUR
         """,
         "events_json_extract": """
             SELECT event_type, COUNT(*) AS n,

@@ -32,6 +32,52 @@ from pyspark.sql.window import Window
 _PACK = 100_000_000  # right ids must be < 1e8; epoch_sec * 1e8 stays < 2^63
 
 
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: Column,
+    start_ts: Column,
+    end_ts: Column,
+    bucket_seconds: int = 86_400,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Point-in-interval join: every (fact, interval) pair with
+    start_ts <= fact_ts <= end_ts — the range join Spark would otherwise
+    plan as a broadcast nested loop over ALL pairs.
+
+    Bucketed-index plan: each interval explodes to one row per covered
+    time bucket (sequence of floor(start/b)..floor(end/b)); each fact
+    computes its single bucket; the non-equi condition becomes an
+    EQUI-join on bucket plus an exact refine. A fact's bucket is unique
+    and an interval covers it at most once, so no dedup pass is needed.
+
+    Scale: the fact side computes one int column and never shuffles when
+    the (exploded) interval side broadcasts; with both sides bucketed on
+    the key the join co-locates. Interval explosion is len/bucket_seconds
+    rows — pick bucket_seconds near the median interval length so typical
+    intervals explode to ~2 rows. All pure JVM column math, no UDF."""
+    b = F.lit(bucket_seconds)
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(start_ts) / b),
+                F.floor(F.unix_timestamp(end_ts) / b),
+            )
+        ),
+    ).withColumn("_lo", F.unix_timestamp(start_ts)).withColumn("_hi", F.unix_timestamp(end_ts))
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    f = facts.withColumn("_fts", F.unix_timestamp(fact_ts)).withColumn(
+        "_bucket", F.floor(F.col("_fts") / b)
+    )
+    return (
+        f.join(iv, "_bucket")
+        .filter((F.col("_fts") >= F.col("_lo")) & (F.col("_fts") <= F.col("_hi")))
+        .drop("_bucket", "_fts", "_lo", "_hi")
+    )
+
+
 def _unpack(df: DataFrame, best: Column, right_id: str, out_cols: list[str]) -> DataFrame:
     return (
         df.withColumn("_best", best)

@@ -89,3 +89,51 @@ def test_merge_plan_single_shuffle(frames):
     plan = _run(frames, False)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan  # union + window, no join at all
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Intervals spanning multiple buckets, sub-bucket intervals, inclusive
+    endpoints, and facts in uncovered buckets — vs a brute-force non-equi
+    join on the same frames."""
+    from stac_to_geocore_spark.relational import range_join
+
+    facts = spark.createDataFrame(
+        [(i, _ts(f"2020-01-0{d} {h:02d}:00:00")) for i, (d, h) in enumerate(
+            [(1, 0), (1, 12), (2, 0), (3, 6), (5, 23), (7, 1), (9, 0)]
+        )],
+        "fact_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, _ts("2020-01-01 00:00:00"), _ts("2020-01-02 00:00:00")),  # 2 buckets, inclusive ends
+            (200, _ts("2020-01-03 05:00:00"), _ts("2020-01-03 07:00:00")),  # sub-bucket
+            (300, _ts("2020-01-04 00:00:00"), _ts("2020-01-06 00:00:00")),  # spans 3 buckets
+        ],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    got = {
+        (r.fact_id, r.iv_id)
+        for r in range_join(facts, iv, F.col("ts"), F.col("lo"), F.col("hi")).collect()
+    }
+    brute = {
+        (r.fact_id, r.iv_id)
+        for r in facts.crossJoin(iv).filter("ts >= lo AND ts <= hi").collect()
+    }
+    assert got == brute
+    assert (0, 100) in got and (2, 100) in got        # inclusive both ends
+    assert (3, 200) in got and (4, 300) in got
+    assert not any(f == 6 for f, _ in got)            # fact past all windows
+
+
+def test_range_join_plan_no_fact_shuffle(spark):
+    from stac_to_geocore_spark.relational import range_join
+
+    facts = spark.createDataFrame([(1, _ts("2020-01-01 00:00:00"))], "fact_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, _ts("2020-01-01 00:00:00"), _ts("2020-01-02 00:00:00"))],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    plan = range_join(facts, iv, F.col("ts"), F.col("lo"), F.col("hi"))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # fact side never shuffles
+    assert "NestedLoop" not in plan                 # the plan Spark would otherwise pick
