@@ -870,6 +870,27 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hamming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-banded Hamming near-dup (text/dedup.hamming_near_dup_pairs):
+    EXACT for hamming <= bands-1, no probabilistic recall. Fingerprints are
+    derived from doc_id with integer arithmetic both engines share, and 5
+    planted rows sit at hamming 2 (xor 0b101); the oracle brute-forces all
+    pairs with bit_count(xor)."""
+    from stac_to_geocore_spark.text.dedup import hamming_near_dup_pairs
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (((F.col("doc_id") * 2654435761) % 2147483648) * 4294967296)
+        .bitwiseXOR((F.col("doc_id") * 40503 + 12345) % 4294967296)
+        .alias("phash"),
+    )
+    planted = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+    )
+    return hamming_near_dup_pairs(base.unionByName(planted), hash_col="phash", max_hamming=3)
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.ann import lsh_topk
 
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
+        "hamming_dedup": _q_hamming_dedup,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_dedup": _q_embedding_dedup,
@@ -1517,6 +1539,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.grams, b.grams)) * 1.0
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.4
+        """,
+        "hamming_dedup": """
+            WITH base AS (
+              SELECT doc_id,
+                     xor(((doc_id * 2654435761) % 2147483648) * 4294967296,
+                         (doc_id * 40503 + 12345) % 4294967296) AS phash
+              FROM documents),
+            planted AS (
+              SELECT doc_id + 1000000 AS doc_id, xor(phash, 5) AS phash
+              FROM base WHERE doc_id % 100 = 0),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM allv a, allv b
+            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "csv_export_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -208,3 +208,46 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on a 64-bit fingerprint column
+    (SimHash, image pHash, ...): id_a < id_b, hamming <= max_hamming.
+
+    EXACT by pigeonhole, not probabilistic: the 64 bits split into `bands`
+    contiguous words; two hashes within Hamming distance bands-1 must agree
+    on at least one whole word, so the word-keyed equi-join (the only
+    shuffle — (id, word) pairs, never payloads) is a complete candidate
+    filter whenever max_hamming <= bands - 1. The refine is
+    bit_count(a XOR b) in pure JVM column math.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole guarantee needs max_hamming <= bands - 1")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    keys = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(F.lit(mask))
+                for i in range(bands)
+            ])
+        ).alias("_band", "_word"),
+    )
+    a = keys.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "_band", "_word")
+    b = keys.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "_band", "_word")
+    return (
+        a.join(b, ["_band", "_word"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

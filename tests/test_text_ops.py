@@ -159,3 +159,32 @@ def test_embedding_dedup_self_similarity(spark):
     assert ((pairs.id_a == 0) & (pairs.id_b == 100000)).any() or (
         (pairs.id_a % 100000) == (pairs.id_b % 100000)
     ).any()
+
+
+def test_hamming_near_dup_pigeonhole_exact(spark):
+    """Every pair within max_hamming must be found (pigeonhole guarantee),
+    and nothing beyond it — vs numpy brute force on random 64-bit hashes."""
+    import numpy as np
+
+    from stac_to_geocore_spark.text.dedup import hamming_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 2**62, size=300, dtype=np.int64)
+    # plant pairs at hamming exactly 1, 3 (found) and 4 (must be excluded)
+    hashes[100] = hashes[0] ^ (1 << 17)
+    hashes[101] = hashes[1] ^ 0b10101
+    hashes[102] = hashes[2] ^ 0b1111
+    df = spark.createDataFrame(
+        [(int(i), int(h)) for i, h in enumerate(hashes)], "doc_id long, simhash long"
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in hamming_near_dup_pairs(df, max_hamming=3).collect()}
+
+    a = hashes.astype(np.uint64)
+    want = {}
+    for i in range(len(a)):
+        ham = np.array([bin(int(a[i] ^ a[j])).count("1") for j in range(i + 1, len(a))])
+        for off in np.nonzero(ham <= 3)[0]:
+            want[(i, i + 1 + int(off))] = int(ham[off])
+    assert got == want
+    assert got[(0, 100)] == 1 and got[(1, 101)] == 3
+    assert (2, 102) not in got  # hamming 4 correctly excluded
