@@ -870,6 +870,35 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over documents: quality scoring ->
+    threshold filter -> exact-dedup keeper selection (min doc_id per md5) ->
+    per-language corpus stats. The composition a 100 TB text pipeline runs
+    before tokenization, as ONE declarative plan."""
+    from stac_to_geocore_spark.text.analysis import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_score(d).select("doc_id", "lang", "text", "quality")
+    kept = (
+        scored.filter(F.col("quality") >= 0.3)
+        .withColumn("text_hash", F.md5("text"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("text_hash").orderBy(F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    # quality is 4dp-rounded; scale to e4 ints so the sum is exact and
+    # order-independent (float sums hash-mismatch across engines)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.round(F.col("quality") * 10000).cast("long")).alias("sum_quality_e4"),
+    )
+
+
 def _q_hamming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pigeonhole-banded Hamming near-dup (text/dedup.hamming_near_dup_pairs):
     EXACT for hamming <= bands-1, no probabilistic recall. Fingerprints are
@@ -1135,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
         "hamming_dedup": _q_hamming_dedup,
+        "curation_pipeline": _q_curation_pipeline,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_dedup": _q_embedding_dedup,
@@ -1539,6 +1569,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.grams, b.grams)) * 1.0
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.4
+        """,
+        "curation_pipeline": """
+            WITH base AS (
+              SELECT doc_id, lang, text,
+                     LENGTH(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len(list_distinct(string_split(text, ' '))) AS n_uniq
+              FROM documents),
+            scored AS (
+              SELECT doc_id, lang, text,
+                     ROUND(LEAST(1.0, n_tokens / 20.0)
+                           * (1.0 - ROUND(n_digit * 1.0 / n_chars, 4))
+                           * (1.0 - ROUND(n_punct * 1.0 / n_chars, 4))
+                           * ROUND(n_uniq * 1.0 / n_tokens, 4), 4) AS quality
+              FROM base),
+            kept AS (
+              SELECT doc_id, lang, text, quality,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM scored WHERE quality >= 0.3)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(CAST(ROUND(quality * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_e4
+            FROM kept WHERE rn = 1 GROUP BY lang
         """,
         "hamming_dedup": """
             WITH base AS (
