@@ -367,6 +367,25 @@ def h3_parent(cell: Column, parent_res: int) -> Column:
     return coalesce(_par(cell), lit(-1))
 
 
+def multi_res_cells(lat: Column, lon: Column, res_list: list[int]) -> Column:
+    """array<long> of cell ids at each res in res_list, computed in ONE
+    Arrow round trip sharing one sphere projection (h3_encode_multi_np) —
+    the encode surface for multi-resolution joins (explode to (res, cell)
+    and equi-join instead of re-scanning the table once per res)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    rl = list(res_list)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _enc_multi(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        xyz = _latlon_to_xyz(lat_s.to_numpy(np.float64), lon_s.to_numpy(np.float64))
+        cols = h3_encode_multi_np(xyz, rl)
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return _enc_multi(lat, lon)
+
+
 def h3_encode(lat: Column, lon: Column, res: int) -> Column:
     from pyspark.sql.functions import coalesce, lit, pandas_udf
 

@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-from stac_to_geocore_spark.cells.h3x import h3_encode
+from stac_to_geocore_spark.cells.h3x import h3_encode, multi_res_cells
 from stac_to_geocore_spark.spatial.cover import covers_df
 
 
@@ -93,28 +93,38 @@ def pip_join(
         res_rows = [r.res for r in covers.select("res").distinct().collect()]
     if broadcast_covers is True:
         covers = F.broadcast(covers)
-    out = None
-    for res in sorted(res_rows):
-        cov_r = covers.filter(F.col("res") == res)
-        pts_r = pts.withColumn("cell", h3_encode(F.col(lat), F.col(lon), res))
-        if salt_factor > 0:
-            salt = F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt_factor))
-            pts_r = pts_r.withColumn("salt", salt)
-            cov_r = cov_r.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))))
-            joined = pts_r.join(cov_r, ["cell", "salt"], "inner")
-        else:
-            joined = pts_r.join(cov_r, "cell", "inner")
-        refined = joined.filter(
-            F.col("fully_inside")
-            | (
-                (F.col(lon) >= F.col("west")) & (F.col(lon) <= F.col("east"))
-                & (F.col(lat) >= F.col("south")) & (F.col(lat) <= F.col("north"))
-            )
-        ).select(point_id, "poly_id", lon, lat)
-        out = refined if out is None else out.unionByName(refined)
-    if out is None:  # no polygons
+    res_rows = sorted(int(r) for r in res_rows)
+    if not res_rows:  # no polygons
         return points.select(point_id, lon, lat).withColumn("poly_id", F.lit(None).cast("string")).filter(F.lit(False)).select(point_id, "poly_id", lon, lat)
-    return out
+
+    # ONE scan, one fused UDF, one join: all needed resolutions are encoded
+    # in a single python pass sharing one sphere projection, exploded to
+    # (res, cell) rows (x len(res_rows), narrow), and joined on (res, cell).
+    # The old per-res loop rescanned the points table once per resolution.
+    pts_r = (
+        pts.select(
+            point_id, lon, lat,
+            F.posexplode(multi_res_cells(F.col(lat), F.col(lon), res_rows)).alias("_pos", "cell"),
+        )
+        .withColumn(
+            "res", F.element_at(F.array(*[F.lit(r) for r in res_rows]), F.col("_pos") + 1).cast("int")
+        )
+        .drop("_pos")
+    )
+    if salt_factor > 0:
+        salt = F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt_factor))
+        pts_r = pts_r.withColumn("salt", salt)
+        covers = covers.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))))
+        joined = pts_r.join(covers, ["res", "cell", "salt"], "inner")
+    else:
+        joined = pts_r.join(covers, ["res", "cell"], "inner")
+    return joined.filter(
+        F.col("fully_inside")
+        | (
+            (F.col(lon) >= F.col("west")) & (F.col(lon) <= F.col("east"))
+            & (F.col(lat) >= F.col("south")) & (F.col(lat) <= F.col("north"))
+        )
+    ).select(point_id, "poly_id", lon, lat)
 
 
 def pip_ring_join(
