@@ -145,9 +145,10 @@ def pip_ring_join(
     rings: (poly_id, ring_lon: array<double>, ring_lat: array<double>)
     returns (point_id, poly_id)
 
-    Same 100 TB shape as pip_join: the point side is scanned once per used
-    res, joined against a broadcastable cover, never shuffled; the ring
-    arrays ride the broadcast side so the exact refine runs join-local."""
+    Same 100 TB shape as pip_join: ONE point-side scan with all used
+    resolutions encoded in one fused Arrow pass, one broadcast join on
+    (res, cell), never shuffled; the ring arrays ride the broadcast side so
+    the exact refine runs join-local."""
     polys = rings.select(
         "poly_id",
         F.array_min("ring_lon").alias("west"), F.array_min("ring_lat").alias("south"),
@@ -161,22 +162,25 @@ def pip_ring_join(
         .join(rings, "poly_id")
     )
     covers = F.broadcast(covers)
-    res_rows = [r.res for r in covers.select("res").distinct().collect()]
-
-    pts = points.select(point_id, lon, lat)
-    out = None
-    for res in sorted(res_rows):
-        cov_r = covers.filter(F.col("res") == res)
-        pts_r = pts.withColumn("cell", h3_encode(F.col(lat), F.col(lon), res))
-        refined = (
-            pts_r.join(cov_r, "cell", "inner")
-            .filter(refine_ring(F.col(lon), F.col(lat), F.col("ring_lon"), F.col("ring_lat")))
-            .select(point_id, "poly_id")
-        )
-        out = refined if out is None else out.unionByName(refined)
-    if out is None:
+    res_rows = sorted(int(r.res) for r in covers.select("res").distinct().collect())
+    if not res_rows:
         return points.select(point_id).withColumn("poly_id", F.lit(None).cast("string")).filter(F.lit(False))
-    return out
+
+    pts_r = (
+        points.select(
+            point_id, lon, lat,
+            F.posexplode(multi_res_cells(F.col(lat), F.col(lon), res_rows)).alias("_pos", "cell"),
+        )
+        .withColumn(
+            "res", F.element_at(F.array(*[F.lit(r) for r in res_rows]), F.col("_pos") + 1).cast("int")
+        )
+        .drop("_pos")
+    )
+    return (
+        pts_r.join(covers, ["res", "cell"], "inner")
+        .filter(refine_ring(F.col(lon), F.col(lat), F.col("ring_lon"), F.col("ring_lat")))
+        .select(point_id, "poly_id")
+    )
 
 
 def refine_ring(lon: Column, lat: Column, ring_lon: Column, ring_lat: Column) -> Column:
