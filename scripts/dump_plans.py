@@ -39,7 +39,7 @@ def main() -> None:
             name = {
                 "q5": "q5_local_supplier", "q1": "q1_pricing_summary",
                 "pip_assign": "pip_assign", "minhash": "minhash_near_dup",
-                "asof": "asof_latest_order",
+                "asof": "asof_latest_order", "range_join": "range_join_events",
             }[t]
             df = qs[name](spark, "/root/testdata/sf0.01")
         print(f"=== {t} ===")
