@@ -8,15 +8,18 @@ collection polygons").
 
 Plan shape (all pyspark.sql; Catalyst/AQE pick physical operators):
 
-  polygons --covers_df--> (poly_id, res, cell, fully_inside, bbox)   [K cells/poly]
-  points   --h3_encode--> (point_id, lon, lat, cell@res)             [per used res]
-  equi-join on cell      broadcast when cover side is small, else
-                         shuffle hash/sort-merge with optional salting
-  refine                 fully_inside OR exact bbox predicate (column math)
+  polygons --covers--> (poly_id, res, cell, fully_inside, bbox)   [K cells/poly]
+  points   --fused multi-res encode + posexplode--> (point_id, lon, lat, res, cell)
+  equi-join on (res, cell)  broadcast when cover side is small, else
+                            shuffle hash/sort-merge with optional salting
+  refine                    fully_inside OR exact bbox predicate (column math)
 
 Scale notes (the 100 TB story):
-- The per-res passes are scan+filter+join; the points scan is pruned to
-  (point_id, lon, lat) so parquet column pruning does the heavy lifting.
+- ONE points scan regardless of how many resolutions the adaptive cover
+  picked (all cells encoded in one Arrow pass sharing one sphere
+  projection); the scan is pruned to (point_id, lon, lat) so parquet
+  column pruning does the heavy lifting, and dim-sized polygon sets add a
+  pushdown-ready bbox-union predicate before the encode.
 - Cover side is polygons x <=max_cells rows — for realistic polygon counts
   it broadcasts, so the points table never shuffles at all.
 - When the cover side is too big to broadcast, hot cells (coastal/urban
