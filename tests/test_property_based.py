@@ -65,3 +65,90 @@ def test_lossless_roundtrip_property(h, w, seed, fmt):
 def test_qjpg_psnr_property(h, w, seed):
     px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert psnr(px, decode_image(encode_image(px, "qjpg"), "qjpg")) >= 40.0
+
+
+# --- relational operators vs brute force (random instances) ---
+
+_ts0 = 1_600_000_000  # fixed epoch base; offsets in seconds
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 500_000)), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 500_000)), min_size=1, max_size=25),
+)
+def test_asof_join_matches_brute_force(left_rows, right_rows):
+    """Both as-of plans vs a brute-force per-row argmax over random keys
+    and timestamps (including equal-ts ties and id tie-breaks)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stac_to_geocore_spark.relational import asof_join
+    from stac_to_geocore_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    left = spark.createDataFrame(
+        [(i, k, dt.datetime.utcfromtimestamp(_ts0 + off)) for i, (k, off) in enumerate(left_rows)],
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, dt.datetime.utcfromtimestamp(_ts0 + off)) for i, (k, off) in enumerate(right_rows)],
+        "rid long, k long, rts timestamp",
+    )
+    want = {}
+    for i, (lk, loff) in enumerate(left_rows):
+        best = None
+        for j, (rk, roff) in enumerate(right_rows):
+            if rk == lk and roff <= loff:
+                cand = (roff, j)
+                best = cand if best is None or cand > best else best
+        if best is not None:
+            want[i] = best[1]
+    for bc in (True, False):
+        got = {
+            r["lid"]: r["asof_rid"]
+            for r in asof_join(
+                left, right, "k", "k", F.col("lts"), F.col("rts"), "rid", broadcast_right=bc
+            ).collect()
+        }
+        assert got == want, f"broadcast={bc}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 900_000), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 900_000), st.integers(0, 400_000)), min_size=1, max_size=20),
+    st.sampled_from([3600, 86_400, 50_000]),
+)
+def test_range_join_matches_brute_force(fact_offs, iv_rows, bucket):
+    """Bucketed range join vs brute force for arbitrary bucket sizes,
+    interval lengths (incl. zero-length), and boundary landings."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stac_to_geocore_spark.relational import range_join
+    from stac_to_geocore_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    facts = spark.createDataFrame(
+        [(i, dt.datetime.utcfromtimestamp(_ts0 + off)) for i, off in enumerate(fact_offs)],
+        "fid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(i, dt.datetime.utcfromtimestamp(_ts0 + lo), dt.datetime.utcfromtimestamp(_ts0 + lo + ln))
+         for i, (lo, ln) in enumerate(iv_rows)],
+        "ivid long, lo timestamp, hi timestamp",
+    )
+    got = {
+        (r["fid"], r["ivid"])
+        for r in range_join(facts, iv, F.col("ts"), F.col("lo"), F.col("hi"), bucket_seconds=bucket).collect()
+    }
+    want = {
+        (i, j)
+        for i, off in enumerate(fact_offs)
+        for j, (lo, ln) in enumerate(iv_rows)
+        if lo <= off <= lo + ln
+    }
+    assert got == want
