@@ -306,6 +306,8 @@ def h3_uncompact_np(cells: np.ndarray, res: int) -> np.ndarray:
     """Expand every cell to its complete res-`res` descendant set (inverse of
     compact for a full cover). Output is sorted unique ids."""
     cells = np.atleast_1d(np.asarray(cells, dtype=np.int64))
+    if len(cells) == 0:
+        return cells
     _, _, _, cres = h3_unpack(cells)
     if (cres > res).any():
         raise ValueError("cell finer than target res")
