@@ -503,11 +503,18 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n1.crk == r.r_regionkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
-                / F.sum(vol),
-                6,
-            ).alias("mkt_share")
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))).alias("_n"),
+            F.sum(vol).alias("_d"),
+        )
+        # integer-exact half-up of n*1e6/d in two 1000x steps (n*1e6 would
+        # overflow int64; each step's intermediates stay < 2^57) — float
+        # division + ROUND can differ 1ulp between engines at the 6th dp
+        .select(
+            "o_year",
+            (
+                F.expr("_n * 1000 div _d") * F.lit(1000)
+                + F.expr("((_n * 1000 % _d) * 2000 + _d) div (2 * _d)")
+            ).cast("long").alias("mkt_share_e6"),
         )
     )
 
@@ -1283,9 +1290,11 @@ def oracle_sql() -> dict[str, str]:
                 AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
                 AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey)
             SELECT o_year,
-                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) * 1.0
-                         / SUM(v), 6) AS mkt_share
-            FROM vol GROUP BY o_year
+                   CAST((n * 1000 // d) * 1000 + ((n * 1000 % d) * 2000 + d) // (2 * d) AS BIGINT) AS mkt_share_e6
+            FROM (SELECT o_year,
+                         CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS BIGINT) AS n,
+                         CAST(SUM(v) AS BIGINT) AS d
+                  FROM vol GROUP BY o_year)
         """,
         "q13_custdist": """
             SELECT c_count, COUNT(*) AS custdist FROM (

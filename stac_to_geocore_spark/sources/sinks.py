@@ -69,6 +69,15 @@ def write_objects(df: DataFrame, store_root: str, manifest_parts: bool = False) 
     nothing collected to the driver."""
     from pyspark import TaskContext
 
+    if manifest_parts:
+        # a previous crashed run (died between write and merge) may have
+        # left part files; stale parts would otherwise be merged into THIS
+        # run's manifest, listing keys this run never wrote
+        store = LocalObjectStore(store_root)
+        for stale in store.list():
+            if stale.startswith(PARTS_PREFIX + "/"):
+                store.delete(stale)
+
     def put_batch(rows) -> None:
         store = LocalObjectStore(store_root)
         keys = []

@@ -112,10 +112,19 @@ class StacDataSource(DataSource):
 class _StacStreamReader(SimpleDataSourceStreamReader):
     """Incremental harvest as a stream: each micro-batch reads the next
     unseen /search pages (offset = pages consumed so far). The reference's
-    daily delete-everything-and-rewrite Lambda becomes `readStream` +
-    `trigger(availableNow=True)` — restarts resume from the checkpointed
-    page offset instead of refetching the world, and a growing catalog
-    simply yields more batches."""
+    daily delete-everything-and-rewrite Lambda becomes a stream — restarts
+    resume from the checkpointed page offset instead of refetching the
+    world, and when consumption reaches the end of the known page list the
+    planner re-walks pagination so a catalog that grew mid-stream yields
+    new batches.
+
+    Offset semantics caveat (same contract as every page-number-offset
+    source): recovery replay (readBetweenOffsets) is exact when the catalog
+    segment behind the checkpoint is append-only/stable — the STAC API
+    serves pages in stable order and new items land on the tail. A catalog
+    that REWRITES history under a running stream shifts page contents, the
+    standard limitation of cursorless HTTP pagination (the reference's
+    batch harvest has the identical property)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
@@ -139,8 +148,13 @@ class _StacStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple:
         pages = self._page_list()
         lo = int(start["pages_done"])
+        if lo >= len(pages):
+            # consumed everything we know about: re-plan so a catalog that
+            # grew since the last walk yields new pages
+            self._pages = None
+            pages = self._page_list()
         hi = min(len(pages), lo + self._batch_pages)
-        return iter(self._rows(lo, hi)), {"pages_done": hi}
+        return iter(self._rows(lo, hi)), {"pages_done": max(lo, hi)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay for recovery: same pages -> same rows

@@ -76,6 +76,11 @@ def knn_join(
     qlon = queries["lon"].to_numpy(np.float64)
     qlat = queries["lat"].to_numpy(np.float64)
     qids = queries["query_id"].tolist()
+    if not qids:
+        pid_type = points.schema[point_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id string, point_id {pid_type}, rank int, dist2 double"
+        )
 
     # cache the pruned 3-column scan FIRST: the extent/count aggregation
     # fills the cache, so the table is scanned exactly once no matter how

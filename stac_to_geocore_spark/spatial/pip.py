@@ -82,14 +82,19 @@ def pip_join(
         cov_pdf = covers_pdf(polygons.toPandas(), res_min, res_max, max_cells, fixed_res)
         covers = points.sparkSession.createDataFrame(cov_pdf, COVER_SCHEMA)
         res_rows = sorted(int(r) for r in cov_pdf["res"].unique())
-        pred = None
-        for row in cov_pdf[["poly_id", "west", "south", "east", "north"]].drop_duplicates("poly_id").itertuples(index=False):
-            q = (
-                (F.col(lon) >= float(row.west)) & (F.col(lon) <= float(row.east))
-                & (F.col(lat) >= float(row.south)) & (F.col(lat) <= float(row.north))
-            )
-            pred = q if pred is None else (pred | q)
-        if pred is not None:
+        # bbox-union pre-filter only for SMALL polygon sets: each polygon adds
+        # a 4-term OR clause, and a thousands-deep Or-chain stalls (or
+        # stack-overflows) Catalyst's recursive tree transforms — beyond the
+        # cap the cell join itself is the filter
+        bboxes = cov_pdf[["poly_id", "west", "south", "east", "north"]].drop_duplicates("poly_id")
+        if 0 < len(bboxes) <= 64:
+            pred = None
+            for row in bboxes.itertuples(index=False):
+                q = (
+                    (F.col(lon) >= float(row.west)) & (F.col(lon) <= float(row.east))
+                    & (F.col(lat) >= float(row.south)) & (F.col(lat) <= float(row.north))
+                )
+                pred = q if pred is None else (pred | q)
             pts = pts.filter(pred)
     else:
         covers = covers_df(polygons, res_min, res_max, max_cells, fixed_res)
@@ -150,24 +155,29 @@ def pip_ring_join(
 
     Same 100 TB shape as pip_join: ONE point-side scan with all used
     resolutions encoded in one fused Arrow pass, one broadcast join on
-    (res, cell), never shuffled; the ring arrays ride the broadcast side so
-    the exact refine runs join-local."""
-    polys = rings.select(
-        "poly_id",
-        F.array_min("ring_lon").alias("west"), F.array_min("ring_lat").alias("south"),
-        F.array_max("ring_lon").alias("east"), F.array_max("ring_lat").alias("north"),
-    )
-    covers = (
-        covers_df(polys, res_min, res_max, max_cells, fixed_res)
-        # fully_inside means inside the BBOX, not the ring — every candidate
-        # must go through the exact refine, so only (poly, res, cell) is kept
-        .select("poly_id", "res", "cell")
-        .join(rings, "poly_id")
-    )
-    covers = F.broadcast(covers)
-    res_rows = sorted(int(r.res) for r in covers.select("res").distinct().collect())
-    if not res_rows:
+    (res, cell). The ring coordinate arrays are broadcast ONCE per polygon
+    (joined by poly_id AFTER the cell join) — never replicated across the
+    up-to-max_cells cover rows — so the exact refine still runs join-local
+    without inflating the broadcast by the cover size. Rings are a dim
+    table by contract, so covers are planned driver-side (pure numpy, no
+    extra Spark jobs)."""
+    from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, covers_pdf
+
+    spark = points.sparkSession
+    rings_pdf = rings.toPandas()
+    if len(rings_pdf) == 0:
         return points.select(point_id).withColumn("poly_id", F.lit(None).cast("string")).filter(F.lit(False))
+    polys_pdf = rings_pdf.assign(
+        west=rings_pdf["ring_lon"].map(min), east=rings_pdf["ring_lon"].map(max),
+        south=rings_pdf["ring_lat"].map(min), north=rings_pdf["ring_lat"].map(max),
+    )[["poly_id", "west", "south", "east", "north"]]
+    cov_pdf = covers_pdf(polys_pdf, res_min, res_max, max_cells, fixed_res)
+    # fully_inside means inside the BBOX, not the ring — every candidate
+    # goes through the exact refine, so only (poly, res, cell) is kept
+    covers = F.broadcast(
+        spark.createDataFrame(cov_pdf, COVER_SCHEMA).select("poly_id", "res", "cell")
+    )
+    res_rows = sorted(int(r) for r in cov_pdf["res"].unique())
 
     pts_r = (
         points.select(
@@ -181,6 +191,7 @@ def pip_ring_join(
     )
     return (
         pts_r.join(covers, ["res", "cell"], "inner")
+        .join(F.broadcast(rings), "poly_id")  # ring arrays: once per polygon
         .filter(refine_ring(F.col(lon), F.col(lat), F.col("ring_lon"), F.col("ring_lat")))
         .select(point_id, "poly_id")
     )

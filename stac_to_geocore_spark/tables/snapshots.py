@@ -72,21 +72,34 @@ class SnapshotTable:
 
     # ----- writes (each produces a new immutable snapshot) -----
 
-    def _write_data(self, df: DataFrame, version_hint: int) -> str:
-        d = os.path.join(self.data_dir, f"s{version_hint}")
+    def _next_data_dir(self) -> str:
+        """First free s<N> name considering BOTH live snapshots and on-disk
+        orphans from crashed commits — a crash between data write and
+        metadata publish must not block the next commit (the orphan stays
+        invisible until vacuum() reclaims it)."""
+        used = {self.latest_version()}
+        if os.path.isdir(self.data_dir):
+            for fn in os.listdir(self.data_dir):
+                m = re.fullmatch(r"s(\d+)", fn)
+                if m:
+                    used.add(int(m.group(1)))
+        return os.path.join(self.data_dir, f"s{max(used) + 1}")
+
+    def _write_data(self, df: DataFrame) -> str:
+        d = self._next_data_dir()
         df.write.mode("errorifexists").parquet(d)
         return d
 
     def append(self, df: DataFrame) -> int:
         """New snapshot = previous dirs + the new files (Iceberg append)."""
         prev = self._snapshot(self.latest_version())["dirs"] if self.latest_version() else []
-        d = self._write_data(df, self.latest_version() + 1)
+        d = self._write_data(df)
         return self._commit("append", prev + [d])
 
     def overwrite(self, df: DataFrame) -> int:
         """New snapshot sees only the new files; older versions still read
         the old data (this is what delete-then-write can never give)."""
-        d = self._write_data(df, self.latest_version() + 1)
+        d = self._write_data(df)
         return self._commit("overwrite", [d])
 
     # ----- reads -----

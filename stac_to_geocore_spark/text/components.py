@@ -45,6 +45,7 @@ def connected_components(
         .persist()
     )
     try:
+        converged = False
         for _ in range(max_iter):
             # each node pulls the smallest label among itself + neighbors
             nb = (
@@ -68,7 +69,15 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # a silently-split component would leak duplicates downstream
+            # (multiple 'keepers' in one true cluster) — fail loudly instead
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds: "
+                "a component's diameter exceeds max_iter — raise max_iter"
+            )
         return labels.select("node", "comp")
     finally:
         edges.unpersist()

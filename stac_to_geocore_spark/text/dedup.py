@@ -86,10 +86,13 @@ def minhash_lsh_pairs(
     max_band_size caps hot buckets: a band bucket holding B docs yields
     B(B-1)/2 candidates, so one boilerplate cluster (every page sharing a
     footer) otherwise turns the self-join quadratic. Buckets above the cap
-    are dropped before the join — members of a >cap bucket are a
-    near-identical cluster whose pairs either surface through their other
-    (more selective) bands or are exactly the mass-duplicate blob a 100 TB
-    dedup pass wants handled by exact-hash grouping, not pairwise LSH.
+    are dropped before the join. NOTE the deliberate recall trade: a
+    duplicate cluster LARGER than the cap collides into an over-cap bucket
+    in EVERY band (identical signatures), so its pairwise output is
+    suppressed entirely — that mass-duplicate blob is exactly what a 100 TB
+    pipeline handles with exact-hash grouping (dedup_exact) or
+    connected-components clustering, not O(B^2) pairs. Pass
+    max_band_size=None to get the quadratic pairs anyway.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands

@@ -158,3 +158,16 @@ def test_stac_streaming_source_available_now(spark, tmp_path):
     got = spark.sql("SELECT id, collection FROM stac_stream_items").toPandas()
     assert len(got) == 95
     assert got["id"].is_unique
+
+
+def test_stale_manifest_parts_not_merged(spark, tmp_path):
+    """Part files left by a crashed previous run must not leak into the new
+    run's manifest (they would list keys this run never wrote)."""
+    from stac_to_geocore_spark.sources.sinks import PARTS_PREFIX
+
+    store_root = str(tmp_path / "stale")
+    store = LocalObjectStore(store_root)
+    store.put(f"{PARTS_PREFIX}/part-99999.txt", "ghost-key.geojson\n")
+    docs = spark.createDataFrame([("a.geojson", "{}"), ("b.geojson", "{}")], "key string, json string")
+    keys = run_harvest_sink(docs, store_root)
+    assert sorted(keys) == ["a.geojson", "b.geojson"]  # no ghost-key

@@ -137,3 +137,14 @@ def test_range_join_plan_no_fact_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan  # fact side never shuffles
     assert "NestedLoop" not in plan                 # the plan Spark would otherwise pick
+
+
+def test_knn_empty_queries_returns_empty(spark):
+    import pandas as pd
+
+    from stac_to_geocore_spark.spatial.knn import knn_join
+
+    pts = spark.createDataFrame([(1, -100.0, 50.0)], "image_id long, lon double, lat double")
+    out = knn_join(pts, pd.DataFrame(columns=["query_id", "lon", "lat"]), k=3)
+    assert out.count() == 0
+    assert out.schema["point_id"].dataType.simpleString() == "bigint"

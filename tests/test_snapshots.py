@@ -60,3 +60,17 @@ def test_tmp_metadata_never_visible(spark, tmp_path):
         json.dump({"version": 2, "op": "append", "dirs": []}, f)
     assert t.latest_version() == 1
     assert t.read(spark).count() == 10
+
+
+def test_crashed_commit_does_not_block_next_append(spark, tmp_path):
+    """A crash between data write and metadata publish must not wedge the
+    table: the next commit picks a fresh data dir, the orphan stays
+    invisible until vacuum."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 10))
+    # simulate: data for a failed v2 commit exists, metadata never published
+    _df(spark, 0, 3).write.parquet(os.path.join(t.data_dir, "s2"))
+    v = t.append(_df(spark, 10, 15))  # must not raise 'path already exists'
+    assert v == 2
+    assert t.read(spark).count() == 15
+    assert os.path.join(t.data_dir, "s2") in t.vacuum()

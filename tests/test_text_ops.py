@@ -188,3 +188,11 @@ def test_hamming_near_dup_pigeonhole_exact(spark):
     assert got == want
     assert got[(0, 100)] == 1 and got[(1, 101)] == 3
     assert (2, 102) not in got  # hamming 4 correctly excluded
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    from stac_to_geocore_spark.text.components import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
