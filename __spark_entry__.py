@@ -832,7 +832,9 @@ def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.text.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.5)
+    # explicit hot-band cap = the 100 TB configuration (opt-in since round 3;
+    # no sf bucket comes near 1024 docs, so output is unchanged)
+    return minhash_lsh_pairs(d, threshold=0.5, max_band_size=1024)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,11 +174,18 @@ def ivf_topk(
     The scale story mirrors lsh_topk: data rows carry one int cell id (the
     natural bucketing/partition column at warehouse scale, so probes prune
     file reads), and only the tiny query side fans out over probes."""
-    # seeded Bernoulli sample across ALL partitions — limit() would take the
-    # first partitions only, a partition-biased training set for the quantizer
-    n = emb.count()
-    frac = min(1.0, 2.0 * train_sample / max(1, n))
-    sample_rows = emb.select(vec_col).sample(fraction=frac, seed=seed).limit(train_sample).collect()
+    # unbiased seeded cap: order by a seeded hash of the id and take the
+    # top-N — executes as per-partition TakeOrdered + driver merge (ONE pass,
+    # no count() job, no shuffle). Round 2's sample(frac).limit(N) still
+    # preferred the first partitions (limit short-circuits) and paid an
+    # extra full count() scan to size the fraction.
+    sample_rows = (
+        emb.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_r"))
+        .orderBy("_r")
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     centroids = _kmeans_np(sample, n_centroids, seed)
 

@@ -97,17 +97,29 @@ def merge_manifest_parts(store: LocalObjectStore) -> int:
     """K2: assemble lastRun.txt (ref app.py:69,164) by streaming the
     per-partition part files in partition order — the driver never holds
     more than one part in memory (vs the old collect() of every key, a
-    driver OOM at billions of records). Returns the key count."""
+    driver OOM at billions of records). Returns the key count.
+
+    Crash-safe ordering: the full manifest is written to a tmp file, fsynced,
+    atomically renamed into place, and ONLY THEN are the part files deleted —
+    a crash at any point leaves either the old manifest + all parts (merge
+    simply re-runs) or the new manifest (part deletion is idempotent). Round
+    2 deleted each part as it merged, so a mid-merge crash lost the
+    already-merged keys permanently."""
     parts = sorted(k for k in store.list() if k.startswith(PARTS_PREFIX + "/"))
     n = 0
     manifest_path = store._path(MANIFEST_KEY)
     os.makedirs(os.path.dirname(manifest_path) or store.root, exist_ok=True)
-    with open(manifest_path, "w", encoding="utf-8") as out:
+    tmp_path = manifest_path + ".tmp"
+    with open(tmp_path, "w", encoding="utf-8") as out:
         for part in parts:
             text = store.get(part)
             out.write(text)
             n += text.count("\n")
-            store.delete(part)
+        out.flush()
+        os.fsync(out.fileno())
+    os.rename(tmp_path, manifest_path)  # atomic publish
+    for part in parts:
+        store.delete(part)
     return n
 
 

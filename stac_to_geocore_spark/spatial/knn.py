@@ -71,6 +71,10 @@ def knn_join(
     res=None auto-selects cell resolution from point density.
     Returns (query_id, point_id, rank, dist2), rank 1..k (dist2 in squared
     scaled degrees, rounded to 9 dp for stable hashing).
+
+    Raises RuntimeError if the expansion has not provably converged after
+    max_iter radius doublings (iterative algorithms never silently return
+    partial results — same contract as text/components.py).
     """
     spark = points.sparkSession
     qlon = queries["lon"].to_numpy(np.float64)
@@ -82,93 +86,107 @@ def knn_join(
             [], f"query_id string, point_id {pid_type}, rank int, dist2 double"
         )
 
-    # cache the pruned 3-column scan FIRST: the extent/count aggregation
-    # fills the cache, so the table is scanned exactly once no matter how
-    # many expansion rounds follow (the cell encode is recomputed per round
-    # on top of the cache — rounds are almost always 1 thanks to the 3x
-    # initial-radius padding, so one scan + one encode total)
+    # NO unbounded persist of the points table: at 10^12 rows a full-table
+    # cache is a multi-TB liability. Each round re-scans through the
+    # JVM bbox pre-filter instead — the filter is exactly what parquet
+    # min/max pruning pushes down, and rounds are almost always 1 thanks
+    # to the 3x initial-radius padding, so the table is read twice total
+    # (extent agg + one filtered candidate scan).
     base = points.select(
         F.col(point_id).alias("point_id"), F.col(lon).alias("p_lon"), F.col(lat).alias("p_lat")
-    ).persist()
-    try:
-        ext = base.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("p_lon").alias("w"), F.max("p_lon").alias("e"),
-            F.min("p_lat").alias("s"), F.max("p_lat").alias("nn"),
-        ).collect()[0]
-        n_pts = ext["n"]
-        area = max(1e-9, (ext["e"] - ext["w"]) * (ext["nn"] - ext["s"])
-                   * math.cos(math.radians((ext["s"] + ext["nn"]) / 2.0)))
-        if res is None:
-            res = _pick_res(n_pts, area, k)
-        # initial radius: uniform-density estimate of the k-th neighbor
-        # distance, padded 3x so the guarantee usually closes on the first
-        # pass (each extra pass costs a full join+window round); candidate
-        # cells grow ~9x but the cover stays tiny relative to the join
-        R = 3.0 * math.sqrt(max(1e-12, k * area / (math.pi * max(1, n_pts))))
-        for _ in range(max_iter):
-            cell_rows = []
+    )
+    ext = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_lon").alias("w"), F.max("p_lon").alias("e"),
+        F.min("p_lat").alias("s"), F.max("p_lat").alias("nn"),
+    ).collect()[0]
+    n_pts = ext["n"]
+    area = max(1e-9, (ext["e"] - ext["w"]) * (ext["nn"] - ext["s"])
+               * math.cos(math.radians((ext["s"] + ext["nn"]) / 2.0)))
+    if res is None:
+        res = _pick_res(n_pts, area, k)
+    # initial radius: uniform-density estimate of the k-th neighbor
+    # distance, padded 3x so the guarantee usually closes on the first
+    # pass (each extra pass costs a full join+window round); candidate
+    # cells grow ~9x but the cover stays tiny relative to the join
+    R = 3.0 * math.sqrt(max(1e-12, k * area / (math.pi * max(1, n_pts))))
+    for _ in range(max_iter):
+        cell_rows = []
+        bboxes = []
+        for i, qid in enumerate(qids):
+            cos_f = max(0.05, math.cos(math.radians(min(89.0, abs(qlat[i]) + R))))
+            w, s = qlon[i] - R / cos_f, max(-89.9, qlat[i] - R)
+            e, n = qlon[i] + R / cos_f, min(89.9, qlat[i] + R)
+            cells, _full = cover_bbox_np(w, s, e, n, res)
+            cell_rows.extend(
+                (qid, float(qlon[i]), float(qlat[i]), int(c)) for c in cells
+            )
+            bboxes.append((w, s, e, n))
+        # JVM-side pre-filter: any point with scaled distance <= R lies
+        # inside its query's bbox (dy <= R; dx <= R implies dlon <= R/cos),
+        # so dropping out-of-bbox points BEFORE the python cell encode
+        # cannot remove a true top-k member once the <=0.98R exactness
+        # check passes — out-of-bbox points all have distance > R >= kth
+        # distance. Uncached, this is also the predicate parquet min/max
+        # pruning wants. CAPPED at 64 clauses (same reason as pip.py:90 —
+        # a thousands-deep Or-chain stalls Catalyst's recursive tree
+        # transforms); beyond the cap, collapse to the single min/max
+        # envelope of all query bboxes — still a correct superset filter.
+        if len(bboxes) <= 64:
             bbox_pred = None
-            for i, qid in enumerate(qids):
-                cos_f = max(0.05, math.cos(math.radians(min(89.0, abs(qlat[i]) + R))))
-                w, s = qlon[i] - R / cos_f, max(-89.9, qlat[i] - R)
-                e, n = qlon[i] + R / cos_f, min(89.9, qlat[i] + R)
-                cells, _full = cover_bbox_np(w, s, e, n, res)
-                cell_rows.extend(
-                    (qid, float(qlon[i]), float(qlat[i]), int(c)) for c in cells
-                )
-                # JVM-side pre-filter: any point with scaled distance <= R
-                # lies inside this bbox (dy <= R; dx <= R implies
-                # dlon <= R/cos), so dropping out-of-bbox points BEFORE the
-                # python cell encode cannot remove a true top-k member once
-                # the <=0.98R exactness check passes — out-of-bbox points
-                # all have distance > R >= kth distance. Uncached, this is
-                # also the predicate parquet min/max pruning wants.
+            for w, s, e, n in bboxes:
                 q_pred = (
                     (F.col("p_lon") >= w) & (F.col("p_lon") <= e)
                     & (F.col("p_lat") >= s) & (F.col("p_lat") <= n)
                 )
                 bbox_pred = q_pred if bbox_pred is None else (bbox_pred | q_pred)
-            cells_df = spark.createDataFrame(
-                cell_rows, "query_id string, q_lon double, q_lat double, cell long"
+        else:
+            w = min(b[0] for b in bboxes)
+            s = min(b[1] for b in bboxes)
+            e = max(b[2] for b in bboxes)
+            n = max(b[3] for b in bboxes)
+            bbox_pred = (
+                (F.col("p_lon") >= w) & (F.col("p_lon") <= e)
+                & (F.col("p_lat") >= s) & (F.col("p_lat") <= n)
             )
-            pts = base.filter(bbox_pred).withColumn(
-                "cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res)
-            )
-            mid = F.radians((F.col("q_lat") + F.col("p_lat")) / 2.0)
-            dx = (F.col("q_lon") - F.col("p_lon")) * F.cos(mid)
-            dy = F.col("q_lat") - F.col("p_lat")
-            cand = pts.join(F.broadcast(cells_df), "cell").withColumn("dist2", dx * dx + dy * dy)
-            w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("point_id").asc())
-            topk = (
-                cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "point_id", "rank", "dist2")
-            )
-            rows = topk.collect()  # Q*k rows — tiny; guarantee check is driver-side
-            by_q: dict = {}
-            for row in rows:
-                by_q.setdefault(row["query_id"], []).append(row)
-            # every point with scaled-degree distance <= R lies inside the
-            # query bbox (dy <= R; dx <= R => dlon <= R/cos), and the cover is
-            # a proven superset of the bbox — so kth_dist <= R*0.98 certifies
-            # the candidate set contains the true top-k
-            satisfied = all(
-                q in by_q
-                and len(by_q[q]) >= k
-                and math.sqrt(max(x["dist2"] for x in by_q[q])) <= R * 0.98
-                for q in qids
-            ) and n_pts >= k
-            if satisfied or n_pts < k:
-                result = [
-                    (row["query_id"], row["point_id"], row["rank"], round(row["dist2"], 9))
-                    for row in rows
-                ]
-                return spark.createDataFrame(result, schema=topk.schema)
-            R *= 2.0
-        return spark.createDataFrame(
-            [(row["query_id"], row["point_id"], row["rank"], round(row["dist2"], 9)) for row in rows],
-            schema=topk.schema,
+        cells_df = spark.createDataFrame(
+            cell_rows, "query_id string, q_lon double, q_lat double, cell long"
         )
-    finally:
-        base.unpersist()
+        pts = base.filter(bbox_pred).withColumn(
+            "cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res)
+        )
+        mid = F.radians((F.col("q_lat") + F.col("p_lat")) / 2.0)
+        dx = (F.col("q_lon") - F.col("p_lon")) * F.cos(mid)
+        dy = F.col("q_lat") - F.col("p_lat")
+        cand = pts.join(F.broadcast(cells_df), "cell").withColumn("dist2", dx * dx + dy * dy)
+        w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("point_id").asc())
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "point_id", "rank", "dist2")
+        )
+        rows = topk.collect()  # Q*k rows — tiny; guarantee check is driver-side
+        by_q: dict = {}
+        for row in rows:
+            by_q.setdefault(row["query_id"], []).append(row)
+        # every point with scaled-degree distance <= R lies inside the
+        # query bbox (dy <= R; dx <= R => dlon <= R/cos), and the cover is
+        # a proven superset of the bbox — so kth_dist <= R*0.98 certifies
+        # the candidate set contains the true top-k
+        satisfied = all(
+            q in by_q
+            and len(by_q[q]) >= k
+            and math.sqrt(max(x["dist2"] for x in by_q[q])) <= R * 0.98
+            for q in qids
+        ) and n_pts >= k
+        if satisfied or n_pts < k:
+            result = [
+                (row["query_id"], row["point_id"], row["rank"], round(row["dist2"], 9))
+                for row in rows
+            ]
+            return spark.createDataFrame(result, schema=topk.schema)
+        R *= 2.0
+    raise RuntimeError(
+        f"knn_join did not converge after {max_iter} radius doublings "
+        f"(final R={R}); raise max_iter or pass a coarser res"
+    )

@@ -12,29 +12,57 @@ that point encodes to one cell at res r, and that cell is in both covers —
 so the equi-join can never miss an intersecting pair (false candidates are
 removed by the exact refine).
 
-Scale shape: each side shuffles (or broadcasts) only (id, cell) pairs; the
-join key is the natural bucketing column, so two pre-bucketed region tables
-co-locate and the join is shuffle-free.
+Scale shape: each side shuffles (or broadcasts) only (id, cell, bbox) rows;
+the join key is the natural bucketing column, so two pre-bucketed region
+tables co-locate and the join is shuffle-free. Sides are probed with ONE
+`limit(driver_plan_max+1)` job each: a dim-sized side plans its covers
+driver-side (pure numpy, no extra jobs) and broadcasts; a side above the
+threshold plans covers DISTRIBUTED (covers_df, mapInPandas) and equi-joins
+cell-bucketed — nothing above the threshold is ever collected to the
+driver (round 2 unconditionally toPandas()'d BOTH sides).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
-from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, adaptive_res, covers_pdf
+from stac_to_geocore_spark.spatial.cover import (
+    COVER_SCHEMA,
+    adaptive_res,
+    covers_df,
+    covers_pdf,
+)
 
 
-def _common_res(pdf_a, pdf_b, res_min: int, res_max: int, max_cells: int) -> int:
-    """One res for BOTH sides (the completeness argument needs it): the
-    coarsest adaptive res over all bboxes, so no polygon's cover exceeds
-    max_cells."""
+def _min_res_pdf(pdf, res_min: int, res_max: int, max_cells: int) -> int:
     res = res_max
-    for pdf in (pdf_a, pdf_b):
-        for r in pdf.itertuples(index=False):
-            res = min(res, adaptive_res(r.west, r.south, r.east, r.north,
-                                         res_min, res_max, max_cells))
-    return max(res, res_min)
+    for r in pdf.itertuples(index=False):
+        res = min(res, adaptive_res(r.west, r.south, r.east, r.north,
+                                    res_min, res_max, max_cells))
+    return res
+
+
+def _min_res_distributed(df: DataFrame, res_min: int, res_max: int, max_cells: int) -> int:
+    """Coarsest adaptive res over a big region table: one narrow agg (the
+    per-row res is computed in an Arrow batch, only the min crosses the
+    wire)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(IntegerType())
+    def _res(w: pd.Series, s: pd.Series, e: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series([
+            adaptive_res(float(wi), float(si), float(ei), float(ni),
+                         res_min, res_max, max_cells)
+            for wi, si, ei, ni in zip(w, s, e, n)
+        ])
+
+    row = df.select(
+        F.min(_res(F.col("west"), F.col("south"), F.col("east"), F.col("north"))).alias("r")
+    ).collect()[0]
+    return int(row["r"]) if row["r"] is not None else res_max
 
 
 def bbox_overlap_join(
@@ -44,29 +72,56 @@ def bbox_overlap_join(
     res_max: int = 9,
     max_cells: int = 2048,
     fixed_res: int | None = None,
+    driver_plan_max: int = 10_000,
 ) -> DataFrame:
     """All (id_a, id_b) pairs whose bboxes intersect (closed-edge semantics).
 
-    Both inputs: (poly_id, west, south, east, north). Dim-sized sets plan
-    covers driver-side (pure numpy, no extra Spark jobs), mirroring
-    pip_join; bigger tables should pre-bucket on the cover cell and use the
-    distributed covers_df path."""
+    Both inputs: (poly_id, west, south, east, north). Sides at or below
+    driver_plan_max rows plan covers driver-side and broadcast; bigger
+    sides plan covers distributed (covers_df) and equi-join on the cell —
+    the cell is the natural bucketing column, so two pre-bucketed region
+    tables co-locate and the join is shuffle-free."""
     spark = polys_a.sparkSession
-    pdf_a, pdf_b = polys_a.toPandas(), polys_b.toPandas()
-    res = fixed_res if fixed_res is not None else _common_res(pdf_a, pdf_b, res_min, res_max, max_cells)
+    pdf_a = polys_a.limit(driver_plan_max + 1).toPandas()
+    pdf_b = polys_b.limit(driver_plan_max + 1).toPandas()
+    a_small = len(pdf_a) <= driver_plan_max
+    b_small = len(pdf_b) <= driver_plan_max
 
-    cov_a = spark.createDataFrame(covers_pdf(pdf_a, fixed_res=res), COVER_SCHEMA).select(
-        F.col("poly_id").alias("id_a"), "cell",
-        F.col("west").alias("wa"), F.col("south").alias("sa"),
-        F.col("east").alias("ea"), F.col("north").alias("na"),
-    )
-    cov_b = spark.createDataFrame(covers_pdf(pdf_b, fixed_res=res), COVER_SCHEMA).select(
-        F.col("poly_id").alias("id_b"), "cell",
-        F.col("west").alias("wb"), F.col("south").alias("sb"),
-        F.col("east").alias("eb"), F.col("north").alias("nb"),
-    )
+    if fixed_res is not None:
+        res = fixed_res
+    else:
+        # one res for BOTH sides (the completeness argument needs it): the
+        # coarsest adaptive res over all bboxes, so no cover exceeds max_cells
+        res = res_max
+        for pdf, small, df in ((pdf_a, a_small, polys_a), (pdf_b, b_small, polys_b)):
+            res = min(
+                res,
+                _min_res_pdf(pdf, res_min, res_max, max_cells)
+                if small
+                else _min_res_distributed(df, res_min, res_max, max_cells),
+            )
+        res = max(res, res_min)
+
+    def side(df: DataFrame, pdf, small: bool, tag: str) -> DataFrame:
+        cov = (
+            spark.createDataFrame(covers_pdf(pdf, fixed_res=res), COVER_SCHEMA)
+            if small
+            else covers_df(df, fixed_res=res)
+        )
+        return cov.select(
+            F.col("poly_id").alias(f"id_{tag}"), "cell",
+            F.col("west").alias(f"w{tag}"), F.col("south").alias(f"s{tag}"),
+            F.col("east").alias(f"e{tag}"), F.col("north").alias(f"n{tag}"),
+        )
+
+    cov_a = side(polys_a, pdf_a, a_small, "a")
+    cov_b = side(polys_b, pdf_b, b_small, "b")
+    if b_small:
+        cov_b = F.broadcast(cov_b)
+    elif a_small:
+        cov_a = F.broadcast(cov_a)
     return (
-        cov_a.join(F.broadcast(cov_b), "cell")
+        cov_a.join(cov_b, "cell")
         .filter(
             (F.col("wa") <= F.col("eb")) & (F.col("ea") >= F.col("wb"))
             & (F.col("sa") <= F.col("nb")) & (F.col("na") >= F.col("sb"))

@@ -54,6 +54,7 @@ def pip_join(
     fixed_res: int | None = None,
     broadcast_covers: bool | None = None,
     salt_factor: int = 0,
+    polygons_are_dim: bool | None = None,
 ) -> DataFrame:
     """Assign each point to every containing polygon.
 
@@ -65,21 +66,33 @@ def pip_join(
     None lets Catalyst/AQE decide from size stats.
     salt_factor > 0 salts the join key (use for skewed cells when the cover
     side must shuffle).
-    driver_plan_max: polygon sets at or below this size plan their covers on
-    the driver (pure numpy, zero extra Spark jobs) and contribute a JVM-side
-    bbox-union pre-filter on the points — only points inside some polygon
-    bbox can ever be assigned (the refine predicate enforces exactly that),
-    so the python cell encode runs over the pre-filtered subset and, on an
-    uncached table, the predicate is what parquet min/max pruning pushes
-    down. Bigger polygon tables go through the distributed covers_df path.
+    polygons_are_dim: True/False skips the size probe entirely (callers
+    that know their polygon table is a dim — or is huge — save the probe
+    job); None probes with ONE `limit(driver_plan_max+1).toPandas()` job
+    that doubles as the collect when the set is small (round 2 ran a
+    separate count() job first — one extra Spark job per call, measured as
+    part of the r2 pip_assign regression).
+
+    Dim-sized polygon sets plan their covers on the driver (pure numpy,
+    zero extra Spark jobs) and contribute a JVM-side bbox-union pre-filter
+    on the points — only points inside some polygon bbox can ever be
+    assigned (the refine predicate enforces exactly that), so the python
+    cell encode runs over the pre-filtered subset and, on an uncached
+    table, the predicate is what parquet min/max pruning pushes down.
+    Bigger polygon tables go through the distributed covers_df path.
     """
     driver_plan_max = 10_000
-    n_polys = polygons.count()
     pts = points.select(point_id, lon, lat)
-    if n_polys <= driver_plan_max:
+    cov_pdf = None
+    if polygons_are_dim is not False:
+        probe = polygons.limit(driver_plan_max + 1).toPandas() if polygons_are_dim is None \
+            else polygons.toPandas()
+        if len(probe) <= driver_plan_max:
+            cov_pdf = probe
+    if cov_pdf is not None:
         from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, covers_pdf
 
-        cov_pdf = covers_pdf(polygons.toPandas(), res_min, res_max, max_cells, fixed_res)
+        cov_pdf = covers_pdf(cov_pdf, res_min, res_max, max_cells, fixed_res)
         covers = points.sparkSession.createDataFrame(cov_pdf, COVER_SCHEMA)
         res_rows = sorted(int(r) for r in cov_pdf["res"].unique())
         # bbox-union pre-filter only for SMALL polygon sets: each polygon adds
@@ -192,43 +205,40 @@ def pip_ring_join(
     return (
         pts_r.join(covers, ["res", "cell"], "inner")
         .join(F.broadcast(rings), "poly_id")  # ring arrays: once per polygon
-        .filter(refine_ring(F.col(lon), F.col(lat), F.col("ring_lon"), F.col("ring_lat")))
+        .filter(refine_ring(F.col("poly_id"), F.col(lon), F.col(lat), F.col("ring_lon"), F.col("ring_lat")))
         .select(point_id, "poly_id")
     )
 
 
-def refine_ring(lon: Column, lat: Column, ring_lon: Column, ring_lat: Column) -> Column:
+def refine_ring(
+    poly_id: Column, lon: Column, lat: Column, ring_lon: Column, ring_lat: Column
+) -> Column:
     """Exact point-in-polygon for general rings (arrays of coords): even-odd
     ray casting in an Arrow-batched pandas UDF. Used instead of the bbox
     predicate when polygons are true rings, on boundary cells only.
 
-    Fully vectorized: rows sharing a ring are grouped (a batch typically
-    holds few distinct polygons but many candidate points), and each group
-    is ray-cast in ONE numpy broadcast (points x edges) — no per-row Python
-    in the hot path."""
+    Fully vectorized: rows are grouped by poly_id via pd.factorize (C, not
+    per-row Python — round 2 keyed groups by hashing the full ring arrays
+    per row, O(rows x ring_len) Python), and each group is ray-cast in ONE
+    numpy broadcast (points x edges)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BooleanType())
-    def _pip(px: pd.Series, py: pd.Series, rx: pd.Series, ry: pd.Series) -> pd.Series:
+    def _pip(pid: pd.Series, px: pd.Series, py: pd.Series, rx: pd.Series, ry: pd.Series) -> pd.Series:
         out = np.zeros(len(px), dtype=bool)
         pxv = px.to_numpy(dtype=np.float64)
         pyv = py.to_numpy(dtype=np.float64)
-        groups: dict[bytes, list[int]] = {}
-        for k in range(len(px)):
-            key = np.asarray(rx.iloc[k], dtype=np.float64).tobytes() \
-                + np.asarray(ry.iloc[k], dtype=np.float64).tobytes()
-            groups.setdefault(key, []).append(k)
-        for idxs in groups.values():
-            i0 = idxs[0]
-            xs = np.asarray(rx.iloc[i0], dtype=np.float64)
-            ys = np.asarray(ry.iloc[i0], dtype=np.float64)
+        codes, _uniques = pd.factorize(pid, sort=False)
+        for g in range(codes.max() + 1 if len(codes) else 0):
+            ii = np.nonzero(codes == g)[0]
+            xs = np.asarray(rx.iloc[ii[0]], dtype=np.float64)
+            ys = np.asarray(ry.iloc[ii[0]], dtype=np.float64)
             x1, y1 = xs, ys
             x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
-            ii = np.asarray(idxs)
             X, Y = pxv[ii][:, None], pyv[ii][:, None]
             with np.errstate(divide="ignore", invalid="ignore"):
                 crosses = ((y1 > Y) != (y2 > Y)) & (X < (x2 - x1) * (Y - y1) / (y2 - y1) + x1)
             out[ii] = (crosses.sum(axis=1) % 2) == 1
         return pd.Series(out)
 
-    return _pip(lon, lat, ring_lon, ring_lat)
+    return _pip(poly_id, lon, lat, ring_lon, ring_lat)

@@ -10,8 +10,9 @@ Layout:
   <path>/data/s<N>/part-*.parquet   immutable data written by commit N
   <path>/_snapshots/v<N>.json       {"version", "op", "dirs", "ts"}
 
-Commit protocol: write data -> write v<N>.json.tmp -> os.rename (atomic on
-POSIX). A crash before the rename leaves an orphan data dir that no snapshot
+Commit protocol: write data -> write v<N>.json.tmp -> os.link exclusive-create
+(atomic compare-and-swap: a concurrent committer of the same version loses
+and retries). A crash before the publish leaves an orphan data dir that no snapshot
 references — invisible to every reader, reclaimed by `vacuum()`. On a real
 cluster the same metadata flow rides an Iceberg catalog
 (iceberg-spark-runtime); this is the sandbox-local implementation of the
@@ -62,13 +63,27 @@ class SnapshotTable:
             return json.load(f)
 
     def _commit(self, op: str, dirs: list[str]) -> int:
-        version = self.latest_version() + 1
-        meta = {"version": version, "op": op, "dirs": dirs, "ts": round(time.time(), 3)}
-        tmp = os.path.join(self.meta_dir, f"v{version}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.rename(tmp, os.path.join(self.meta_dir, f"v{version}.json"))  # atomic publish
-        return version
+        """Compare-and-swap publish (Iceberg commit semantics): the metadata
+        file is linked into place with an EXCLUSIVE create, so two writers
+        that both read the same latest_version() cannot both publish v<N> —
+        the loser gets CommitConflict and retries with a fresh version
+        (os.rename would silently clobber the winner's commit)."""
+        for _attempt in range(100):
+            version = self.latest_version() + 1
+            meta = {"version": version, "op": op, "dirs": dirs, "ts": round(time.time(), 3)}
+            tmp = os.path.join(self.meta_dir, f"v{version}.json.tmp.{os.getpid()}")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+                f.flush()
+                os.fsync(f.fileno())
+            final = os.path.join(self.meta_dir, f"v{version}.json")
+            try:
+                os.link(tmp, final)  # atomic + exclusive: fails if v<N> exists
+                os.unlink(tmp)
+                return version
+            except FileExistsError:
+                os.unlink(tmp)  # lost the race — re-read latest and retry
+        raise RuntimeError(f"commit conflict persisted after 100 retries at {self.path}")
 
     # ----- writes (each produces a new immutable snapshot) -----
 

@@ -75,7 +75,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     seed: int = 42,
-    max_band_size: int | None = 1024,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
@@ -91,8 +91,10 @@ def minhash_lsh_pairs(
     in EVERY band (identical signatures), so its pairwise output is
     suppressed entirely — that mass-duplicate blob is exactly what a 100 TB
     pipeline handles with exact-hash grouping (dedup_exact) or
-    connected-components clustering, not O(B^2) pairs. Pass
-    max_band_size=None to get the quadratic pairs anyway.
+    connected-components clustering, not O(B^2) pairs. The cap is OPT-IN
+    (default None = exact recall, quadratic hot buckets and all) so the
+    recall trade is never silently applied to an unsuspecting caller; scale
+    pipelines pass e.g. max_band_size=1024 explicitly.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -176,10 +178,11 @@ def ngram_jaccard_pairs(
     lsh_bands: int = 16,
     num_hashes: int = 64,
     seed: int = 42,
-    max_band_size: int | None = 1024,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for LSH-candidate pairs only (filter via
-    MinHash banding, verify exactly on the candidate subset)."""
+    MinHash banding, verify exactly on the candidate subset). The hot-band
+    cap is opt-in (see minhash_lsh_pairs)."""
     cand = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes=num_hashes, bands=lsh_bands,
         threshold=0.0, seed=seed, max_band_size=max_band_size,

@@ -54,7 +54,7 @@ def test_ring_refine_matches_brute_force(spark):
     cells_df = spark.createDataFrame([(int(c),) for c in cells], "cell long")
     inside = (
         df.join(F.broadcast(cells_df), "cell")  # cover filter
-        .filter(refine_ring(F.col("lon"), F.col("lat"), F.col("ring_lon"), F.col("ring_lat")))
+        .filter(refine_ring(F.lit("star"), F.col("lon"), F.col("lat"), F.col("ring_lon"), F.col("ring_lat")))
         .select("pid")
         .toPandas()["pid"]
         .to_numpy()
