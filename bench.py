@@ -92,7 +92,7 @@ def main() -> None:
         "tile_assign", "pip_assign", "knn_ring",
         "dedup_exact", "doc_stats", "stopword_score", "ann_topk",
     ]
-    qmap = entrymod.queries()
+    qmap = entrymod.all_queries()  # bench suite spans gate + demoted entries
     for name in bench_queries:
         if name not in qmap:
             continue

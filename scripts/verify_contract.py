@@ -70,9 +70,11 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
-    oracles = m.oracle_sql()
+    # gate entries first (what the driver records), then the demoted extras —
+    # the local twin checks BOTH so demotion never hides a regression
+    oracles = {**m.oracle_sql(), **m.extra_oracle_sql()}
     failures = []
-    for name, fn in m.queries().items():
+    for name, fn in m.all_queries().items():
         if only and name not in only:
             continue
         try:

@@ -45,14 +45,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
 
 
-SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
+# gate entries AND demoted extras — demotion out of the driver's 50-row
+# window must never hide an oracle regression locally
+ALL_QUERIES = entrymod.all_queries()
+ALL_ORACLES = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+SQL_CHECKED = sorted(ALL_ORACLES.keys())
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(spark, duck, name):
-    q = entrymod.queries()[name]
+    q = ALL_QUERIES[name]
     spark_pdf = q(spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(entrymod.oracle_sql()[name]).df()
+    duck_pdf = duck.sql(ALL_ORACLES[name]).df()
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     assert len(a) == len(b), f"{name}: row count {len(a)} vs oracle {len(b)}"
     assert list(a.columns) == list(b.columns), f"{name}: schema {list(a.columns)} vs {list(b.columns)}"
@@ -69,7 +73,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_rows_only_queries_run(spark):
     """Queries without an oracle entry must still run and return a stable schema."""
-    for name, q in entrymod.queries().items():
+    for name, q in ALL_QUERIES.items():
         if name in SQL_CHECKED:
             continue
         df = q(spark, SF_DIR)
