@@ -36,6 +36,7 @@ into H3 (res 5-9) ... via vectorized pandas/Arrow UDFs").
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -369,35 +370,48 @@ def h3_parent(cell: Column, parent_res: int) -> Column:
     return coalesce(_par(cell), lit(-1))
 
 
+@functools.lru_cache(maxsize=64)
+def _multi_res_udf(rl: tuple[int, ...]):
+    # creating (and cloudpickling) a pandas UDF costs ~0.1-0.3s of driver
+    # time; pip_join builds one per call, so the UDF is cached per res
+    # tuple (part of the r2 pip_assign plan-build regression)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def _enc_multi(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        xyz = _latlon_to_xyz(lat_s.to_numpy(np.float64), lon_s.to_numpy(np.float64))
+        cols = h3_encode_multi_np(xyz, list(rl))
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return _enc_multi
+
+
 def multi_res_cells(lat: Column, lon: Column, res_list: list[int]) -> Column:
     """array<long> of cell ids at each res in res_list, computed in ONE
     Arrow round trip sharing one sphere projection (h3_encode_multi_np) —
     the encode surface for multi-resolution joins (explode to (res, cell)
     and equi-join instead of re-scanning the table once per res)."""
+    return _multi_res_udf(tuple(res_list))(lat, lon)
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_udf(res: int):
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType
-
-    rl = list(res_list)
-
-    @pandas_udf(ArrayType(LongType()))
-    def _enc_multi(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
-        xyz = _latlon_to_xyz(lat_s.to_numpy(np.float64), lon_s.to_numpy(np.float64))
-        cols = h3_encode_multi_np(xyz, rl)
-        return pd.Series(list(np.stack(cols, axis=1)))
-
-    return _enc_multi(lat, lon)
-
-
-def h3_encode(lat: Column, lon: Column, res: int) -> Column:
-    from pyspark.sql.functions import coalesce, lit, pandas_udf
 
     @pandas_udf(LongType())
     def _enc(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
         return pd.Series(h3_encode_np(lat_s.to_numpy(np.float64), lon_s.to_numpy(np.float64), res))
+
+    return _enc
+
+
+def h3_encode(lat: Column, lon: Column, res: int) -> Column:
+    from pyspark.sql.functions import coalesce, lit
 
     # the kernel never yields null, but Catalyst can't know that: when the
     # encoded cell is a join key, the inferred isnotnull(key) filter gets
     # pushed below the projection and forces a SECOND ArrowEvalPython pass
     # per row. coalesce(-1) makes the expression provably non-nullable so
     # the inferred filter is pruned and the UDF runs exactly once.
-    return coalesce(_enc(lat, lon), lit(-1))
+    return coalesce(_encode_udf(res)(lat, lon), lit(-1))

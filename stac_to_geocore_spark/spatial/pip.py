@@ -101,18 +101,26 @@ def pip_join(
         # cap the cell join itself is the filter
         bboxes = cov_pdf[["poly_id", "west", "south", "east", "north"]].drop_duplicates("poly_id")
         if 0 < len(bboxes) <= 64:
-            pred = None
-            for row in bboxes.itertuples(index=False):
-                q = (
-                    (F.col(lon) >= float(row.west)) & (F.col(lon) <= float(row.east))
-                    & (F.col(lat) >= float(row.south)) & (F.col(lat) <= float(row.north))
-                )
-                pred = q if pred is None else (pred | q)
-            pts = pts.filter(pred)
+            # ONE expr() parse instead of ~8 py4j Column calls per bbox —
+            # building the chain Column-by-Column cost ~0.6s of driver time
+            # at 24 polygons (part of the r2 pip_assign regression)
+            clauses = " OR ".join(
+                f"(`{lon}` >= {float(r.west)!r} AND `{lon}` <= {float(r.east)!r}"
+                f" AND `{lat}` >= {float(r.south)!r} AND `{lat}` <= {float(r.north)!r})"
+                for r in bboxes.itertuples(index=False)
+            )
+            pts = pts.filter(F.expr(clauses))
     else:
         covers = covers_df(polygons, res_min, res_max, max_cells, fixed_res)
         res_rows = [r.res for r in covers.select("res").distinct().collect()]
-    if broadcast_covers is True:
+    if broadcast_covers is True or (
+        broadcast_covers is None and cov_pdf is not None and salt_factor == 0
+    ):
+        # driver-planned covers are dim-sized BY CONSTRUCTION (<= driver_plan_max
+        # polys x <= max_cells); pin the broadcast so Catalyst can never pick
+        # the points side as the build side (observed at small sf: the scan
+        # size estimate made it broadcast the exploded POINTS — harmless at
+        # 15k rows, catastrophic at 10^12)
         covers = F.broadcast(covers)
     res_rows = sorted(int(r) for r in res_rows)
     if not res_rows:  # no polygons
