@@ -63,10 +63,10 @@ def worker(cpus: int, n_images: int) -> None:
 
     warm = images_df(spark, 50_000, bytes_mode="none", partitions=4 * cpus)
     flagship(warm, polys).write.format("noop").mode("overwrite").save()
-    # two trials in the warm JVM, keep the min: the host's minute-scale
+    # three trials in the warm JVM, keep the min: the host's minute-scale
     # throughput weather is the dominant noise source (BENCH/BASELINE.md)
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         flagship(images, polys).write.format("noop").mode("overwrite").save()
         dt = min(dt, time.monotonic() - t0)
@@ -89,7 +89,7 @@ def main() -> None:
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--images", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "4000000")))
-    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--repeat", type=int, default=5)
     ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALING_N", "2")),
                     help="N cores (4N is measured too)")
     args = ap.parse_args()

@@ -357,17 +357,24 @@ def h3_kring_np(cell: np.ndarray, k: int) -> np.ndarray:
 # --- Spark surface (Arrow-batched pandas UDFs; no per-row Python) ---
 
 
-def h3_parent(cell: Column, parent_res: int) -> Column:
-    """Column form of the exact aperture-7 parent — the key for multi-res
-    rollups (aggregate at fine res once, roll up to any coarser res with a
-    map-side re-key instead of re-scanning the raw table)."""
-    from pyspark.sql.functions import coalesce, lit, pandas_udf
+@functools.lru_cache(maxsize=64)
+def _parent_udf(parent_res: int):
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(LongType())
     def _par(cells: pd.Series) -> pd.Series:
         return pd.Series(h3_parent_np(cells.to_numpy(np.int64), parent_res))
 
-    return coalesce(_par(cell), lit(-1))
+    return _par
+
+
+def h3_parent(cell: Column, parent_res: int) -> Column:
+    """Column form of the exact aperture-7 parent — the key for multi-res
+    rollups (aggregate at fine res once, roll up to any coarser res with a
+    map-side re-key instead of re-scanning the raw table)."""
+    from pyspark.sql.functions import coalesce, lit
+
+    return coalesce(_parent_udf(parent_res)(cell), lit(-1))
 
 
 @functools.lru_cache(maxsize=64)

@@ -18,6 +18,8 @@ Known-answer checks used in tests (derivable from the scheme definition):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -142,12 +144,19 @@ def s2_level_np(cell: np.ndarray) -> np.ndarray:
     return MAX_LEVEL - tz // 2
 
 
-def s2_encode(lat: Column, lon: Column, level: int = 12) -> Column:
-    """Spark column: S2 cell id at `level` via Arrow-batched pandas UDF."""
+@functools.lru_cache(maxsize=64)
+def _s2_encode_udf(level: int):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(LongType())
     def _enc(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
         return pd.Series(s2_encode_np(lat_s.to_numpy(np.float64), lon_s.to_numpy(np.float64), level))
 
-    return _enc(lat, lon)
+    return _enc
+
+
+def s2_encode(lat: Column, lon: Column, level: int = 12) -> Column:
+    """Spark column: S2 cell id at `level` via Arrow-batched pandas UDF
+    (UDF cached per level — cloudpickling one costs ~0.1-0.3s of driver
+    time per call otherwise)."""
+    return _s2_encode_udf(level)(lat, lon)

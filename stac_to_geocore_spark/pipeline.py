@@ -21,6 +21,8 @@ broadcast-join -> filter: no shuffle of the 10^12-row side at all.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,11 +34,13 @@ from stac_to_geocore_spark.spatial.cover import covers_df
 COVER_RES = 5
 
 
+@functools.lru_cache(maxsize=16)
 def _fused_cells_udf(res: int, s2_level: int):
     """ONE Arrow round trip and ONE lat/lon->xyz projection for all three
     cell ids (h3 at `res`, h3 at COVER_RES, s2 at `s2_level`). The separate
     h3_encode/s2_encode UDFs each redo the trig+face selection; fusing them
-    cuts the python-side encode work ~2x on the flagship hot path."""
+    cuts the python-side encode work ~2x on the flagship hot path. Cached
+    per (res, level) — cloudpickling a pandas UDF costs driver time."""
     from pyspark.sql.functions import pandas_udf
 
     from stac_to_geocore_spark.cells import h3x

@@ -212,10 +212,13 @@ def register_cover_udtf(spark: SparkSession, name: str = "cover_cells") -> None:
 
     Each eval() call runs one vectorized numpy cover (same kernel as
     covers_df); the UDTF is the per-row table-expansion surface, covers_df
-    the bulk mapInPandas surface."""
+    the bulk mapInPandas surface. Output rows ride Arrow batches
+    (useArrow) instead of pickled rows — a cover yields up to max_cells
+    rows per input row, so the output serialization is the UDTF's hot
+    path; falls back to the pickling UDTF if the runtime lacks Arrow
+    UDTF support."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="cell bigint, fully_inside boolean")
     class CoverCells:
         def eval(self, west, south, east, north, res: int):
             # SQL decimal literals arrive as decimal.Decimal — coerce
@@ -223,4 +226,8 @@ def register_cover_udtf(spark: SparkSession, name: str = "cover_cells") -> None:
             for c, f in zip(cells.tolist(), full.tolist()):
                 yield int(c), bool(f)
 
-    spark.udtf.register(name, CoverCells)
+    try:
+        wrapped = udtf(CoverCells, returnType="cell bigint, fully_inside boolean", useArrow=True)
+    except TypeError:  # runtime without Arrow-UDTF support
+        wrapped = udtf(CoverCells, returnType="cell bigint, fully_inside boolean")
+    spark.udtf.register(name, wrapped)

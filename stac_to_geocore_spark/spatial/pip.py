@@ -123,8 +123,13 @@ def pip_join(
         # 15k rows, catastrophic at 10^12)
         covers = F.broadcast(covers)
     res_rows = sorted(int(r) for r in res_rows)
-    if not res_rows:  # no polygons
-        return points.select(point_id, lon, lat).withColumn("poly_id", F.lit(None).cast("string")).filter(F.lit(False)).select(point_id, "poly_id", lon, lat)
+    if not res_rows:  # no polygons -> empty result with the contract schema
+        fields = {f.name: f.dataType.simpleString() for f in points.schema.fields}
+        return points.sparkSession.createDataFrame(
+            [],
+            f"`{point_id}` {fields[point_id]}, poly_id string, "
+            f"`{lon}` {fields[lon]}, `{lat}` {fields[lat]}",
+        )
 
     # ONE scan, one fused UDF, one join: all needed resolutions are encoded
     # in a single python pass sharing one sphere projection, exploded to
