@@ -179,9 +179,15 @@ def ivf_topk(
     # no count() job, no shuffle). Round 2's sample(frac).limit(N) still
     # preferred the first partitions (limit short-circuits) and paid an
     # extra full count() scan to size the fraction.
+    # secondary key = hash of the vector itself, so the order stays
+    # deterministic even if id_col has duplicate values
     sample_rows = (
-        emb.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_r"))
-        .orderBy("_r")
+        emb.select(
+            vec_col,
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_r"),
+            F.xxhash64(F.col(vec_col)).alias("_r2"),
+        )
+        .orderBy("_r", "_r2")
         .limit(train_sample)
         .select(vec_col)
         .collect()

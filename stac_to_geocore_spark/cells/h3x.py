@@ -358,7 +358,7 @@ def h3_kring_np(cell: np.ndarray, k: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _parent_udf(parent_res: int):
+def _parent_udf(parent_res: int, _skey):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(LongType())
@@ -374,11 +374,23 @@ def h3_parent(cell: Column, parent_res: int) -> Column:
     map-side re-key instead of re-scanning the raw table)."""
     from pyspark.sql.functions import coalesce, lit
 
-    return coalesce(_parent_udf(parent_res)(cell), lit(-1))
+    return coalesce(_parent_udf(parent_res, _session_cache_key())(cell), lit(-1))
+
+
+def _session_cache_key():
+    """Part of every UDF-cache key: pyspark memoizes UserDefinedFunction._judf
+    against the JVM of the session that first used it, so a UDF cached across
+    a session restart would hold a dead-JVM handle. Keying by the active
+    SparkContext makes a fresh session get fresh UDFs (old entries age out
+    of the LRU)."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    return id(s.sparkContext) if s is not None else None
 
 
 @functools.lru_cache(maxsize=64)
-def _multi_res_udf(rl: tuple[int, ...]):
+def _multi_res_udf(rl: tuple[int, ...], _skey):
     # creating (and cloudpickling) a pandas UDF costs ~0.1-0.3s of driver
     # time; pip_join builds one per call, so the UDF is cached per res
     # tuple (part of the r2 pip_assign plan-build regression)
@@ -399,11 +411,11 @@ def multi_res_cells(lat: Column, lon: Column, res_list: list[int]) -> Column:
     Arrow round trip sharing one sphere projection (h3_encode_multi_np) —
     the encode surface for multi-resolution joins (explode to (res, cell)
     and equi-join instead of re-scanning the table once per res)."""
-    return _multi_res_udf(tuple(res_list))(lat, lon)
+    return _multi_res_udf(tuple(res_list), _session_cache_key())(lat, lon)
 
 
 @functools.lru_cache(maxsize=64)
-def _encode_udf(res: int):
+def _encode_udf(res: int, _skey):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(LongType())
@@ -421,4 +433,4 @@ def h3_encode(lat: Column, lon: Column, res: int) -> Column:
     # pushed below the projection and forces a SECOND ArrowEvalPython pass
     # per row. coalesce(-1) makes the expression provably non-nullable so
     # the inferred filter is pruned and the UDF runs exactly once.
-    return coalesce(_encode_udf(res)(lat, lon), lit(-1))
+    return coalesce(_encode_udf(res, _session_cache_key())(lat, lon), lit(-1))

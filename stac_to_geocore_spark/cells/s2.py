@@ -145,7 +145,7 @@ def s2_level_np(cell: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _s2_encode_udf(level: int):
+def _s2_encode_udf(level: int, _skey):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(LongType())
@@ -157,6 +157,9 @@ def _s2_encode_udf(level: int):
 
 def s2_encode(lat: Column, lon: Column, level: int = 12) -> Column:
     """Spark column: S2 cell id at `level` via Arrow-batched pandas UDF
-    (UDF cached per level — cloudpickling one costs ~0.1-0.3s of driver
-    time per call otherwise)."""
-    return _s2_encode_udf(level)(lat, lon)
+    (UDF cached per (level, session) — cloudpickling one costs ~0.1-0.3s of
+    driver time per call; the session key avoids a dead-JVM handle after a
+    session restart, see h3x._session_cache_key)."""
+    from stac_to_geocore_spark.cells.h3x import _session_cache_key
+
+    return _s2_encode_udf(level, _session_cache_key())(lat, lon)

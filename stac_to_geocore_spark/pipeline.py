@@ -35,12 +35,13 @@ COVER_RES = 5
 
 
 @functools.lru_cache(maxsize=16)
-def _fused_cells_udf(res: int, s2_level: int):
+def _fused_cells_udf(res: int, s2_level: int, _skey=None):
     """ONE Arrow round trip and ONE lat/lon->xyz projection for all three
     cell ids (h3 at `res`, h3 at COVER_RES, s2 at `s2_level`). The separate
     h3_encode/s2_encode UDFs each redo the trig+face selection; fusing them
     cuts the python-side encode work ~2x on the flagship hot path. Cached
-    per (res, level) — cloudpickling a pandas UDF costs driver time."""
+    per (res, level, session) — cloudpickling a pandas UDF costs driver
+    time; the session key avoids a dead-JVM _judf after a restart."""
     from pyspark.sql.functions import pandas_udf
 
     from stac_to_geocore_spark.cells import h3x
@@ -60,7 +61,9 @@ def _fused_cells_udf(res: int, s2_level: int):
 
 def encode_stage(images: DataFrame, res: int = 7, s2_level: int = 12, zoom: int = 12) -> DataFrame:
     """Cell/tile encoding: one projection, no shuffle, one fused UDF."""
-    enc = _fused_cells_udf(res, s2_level)
+    from stac_to_geocore_spark.cells.h3x import _session_cache_key
+
+    enc = _fused_cells_udf(res, s2_level, _session_cache_key())
     cells = enc(F.col("lat"), F.col("lon")).alias("_cells")
     return images.select("image_id", "lon", "lat", cells).select(
         "image_id",

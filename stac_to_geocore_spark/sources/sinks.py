@@ -71,12 +71,14 @@ def write_objects(df: DataFrame, store_root: str, manifest_parts: bool = False) 
 
     if manifest_parts:
         # a previous crashed run (died between write and merge) may have
-        # left part files; stale parts would otherwise be merged into THIS
-        # run's manifest, listing keys this run never wrote
+        # left part files or a half-consumed merge staging dir; stale parts
+        # would otherwise be merged into THIS run's manifest, listing keys
+        # this run never wrote
         store = LocalObjectStore(store_root)
         for stale in store.list():
             if stale.startswith(PARTS_PREFIX + "/"):
                 store.delete(stale)
+        shutil.rmtree(store._path(PARTS_PREFIX) + CONSUMED_SUFFIX, ignore_errors=True)
 
     def put_batch(rows) -> None:
         store = LocalObjectStore(store_root)
@@ -93,33 +95,56 @@ def write_objects(df: DataFrame, store_root: str, manifest_parts: bool = False) 
     return 0
 
 
+CONSUMED_SUFFIX = ".consumed"
+
+
 def merge_manifest_parts(store: LocalObjectStore) -> int:
     """K2: assemble lastRun.txt (ref app.py:69,164) by streaming the
     per-partition part files in partition order — the driver never holds
     more than one part in memory (vs the old collect() of every key, a
     driver OOM at billions of records). Returns the key count.
 
-    Crash-safe ordering: the full manifest is written to a tmp file, fsynced,
-    atomically renamed into place, and ONLY THEN are the part files deleted —
-    a crash at any point leaves either the old manifest + all parts (merge
-    simply re-runs) or the new manifest (part deletion is idempotent). Round
-    2 deleted each part as it merged, so a mid-merge crash lost the
-    already-merged keys permanently."""
-    parts = sorted(k for k in store.list() if k.startswith(PARTS_PREFIX + "/"))
+    Crash-safe protocol (every intermediate state recovers by re-running
+    merge, with no key ever lost):
+
+      1. rename _manifest_parts/ -> _manifest_parts.consumed/  (atomic:
+         ALL parts move together; a later crash can't strand a subset)
+      2. stream the consumed parts into lastRun.txt.tmp, fsync
+      3. rename tmp -> lastRun.txt                              (atomic)
+      4. rmtree the consumed dir
+
+    Crash after 1: old manifest + consumed dir -> re-run resumes from the
+    consumed dir. Crash after 3: new manifest + consumed dir -> re-run
+    rebuilds the IDENTICAL manifest from the same consumed parts
+    (idempotent), then cleans up. Round 2 deleted parts one-by-one after
+    publishing, so a crash mid-deletion made the prescribed re-run rebuild
+    the manifest from only the SURVIVING parts — silently dropping keys."""
+    parts_dir = store._path(PARTS_PREFIX)
+    consumed_dir = parts_dir + CONSUMED_SUFFIX
+    if not os.path.isdir(consumed_dir):
+        if os.path.isdir(parts_dir):
+            os.rename(parts_dir, consumed_dir)  # step 1
+        else:
+            os.makedirs(consumed_dir, exist_ok=True)  # nothing staged: empty run
+    # else: resuming a crashed merge — the consumed dir is the source of truth
+    parts = sorted(
+        fn for fn in os.listdir(consumed_dir)
+        if os.path.isfile(os.path.join(consumed_dir, fn))
+    )
     n = 0
     manifest_path = store._path(MANIFEST_KEY)
     os.makedirs(os.path.dirname(manifest_path) or store.root, exist_ok=True)
     tmp_path = manifest_path + ".tmp"
     with open(tmp_path, "w", encoding="utf-8") as out:
         for part in parts:
-            text = store.get(part)
+            with open(os.path.join(consumed_dir, part), encoding="utf-8") as f:
+                text = f.read()
             out.write(text)
             n += text.count("\n")
         out.flush()
         os.fsync(out.fileno())
-    os.rename(tmp_path, manifest_path)  # atomic publish
-    for part in parts:
-        store.delete(part)
+    os.rename(tmp_path, manifest_path)  # step 3: atomic publish
+    shutil.rmtree(consumed_dir, ignore_errors=True)  # step 4
     return n
 
 

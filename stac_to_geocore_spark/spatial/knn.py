@@ -101,6 +101,15 @@ def knn_join(
         F.min("p_lat").alias("s"), F.max("p_lat").alias("nn"),
     ).collect()[0]
     n_pts = ext["n"]
+    if n_pts == 0:
+        pid_type = points.schema[point_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id string, point_id {pid_type}, rank int, dist2 double"
+        )
+    # fewer points than k: the exact answer ranks ALL n_pts points per query
+    # (never a silent partial result — expansion continues until every
+    # query's k_eff-th candidate is certified, or it raises)
+    k = min(k, n_pts)
     area = max(1e-9, (ext["e"] - ext["w"]) * (ext["nn"] - ext["s"])
                * math.cos(math.radians((ext["s"] + ext["nn"]) / 2.0)))
     if res is None:
@@ -178,8 +187,8 @@ def knn_join(
             and len(by_q[q]) >= k
             and math.sqrt(max(x["dist2"] for x in by_q[q])) <= R * 0.98
             for q in qids
-        ) and n_pts >= k
-        if satisfied or n_pts < k:
+        )
+        if satisfied:
             result = [
                 (row["query_id"], row["point_id"], row["rank"], round(row["dist2"], 9))
                 for row in rows

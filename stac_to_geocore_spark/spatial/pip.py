@@ -66,12 +66,14 @@ def pip_join(
     None lets Catalyst/AQE decide from size stats.
     salt_factor > 0 salts the join key (use for skewed cells when the cover
     side must shuffle).
-    polygons_are_dim: True/False skips the size probe entirely (callers
-    that know their polygon table is a dim — or is huge — save the probe
-    job); None probes with ONE `limit(driver_plan_max+1).toPandas()` job
-    that doubles as the collect when the set is small (round 2 ran a
-    separate count() job first — one extra Spark job per call, measured as
-    part of the r2 pip_assign regression).
+    polygons_are_dim: None (default) probes with ONE bounded
+    `limit(driver_plan_max+1).toPandas()` job that doubles as the collect
+    when the set is small (round 2 ran a separate count() job first — one
+    extra Spark job per call, measured as part of the r2 pip_assign
+    regression). False skips the probe and goes straight to the
+    distributed covers path (the only case that saves the job). True
+    asserts the caller's dim claim: the same bounded collect, but a table
+    over driver_plan_max rows raises instead of silently switching paths.
 
     Dim-sized polygon sets plan their covers on the driver (pure numpy,
     zero extra Spark jobs) and contribute a JVM-side bbox-union pre-filter
@@ -85,10 +87,14 @@ def pip_join(
     pts = points.select(point_id, lon, lat)
     cov_pdf = None
     if polygons_are_dim is not False:
-        probe = polygons.limit(driver_plan_max + 1).toPandas() if polygons_are_dim is None \
-            else polygons.toPandas()
+        probe = polygons.limit(driver_plan_max + 1).toPandas()
         if len(probe) <= driver_plan_max:
             cov_pdf = probe
+        elif polygons_are_dim is True:
+            raise ValueError(
+                f"polygons_are_dim=True but the polygon table exceeds "
+                f"{driver_plan_max} rows — drop the hint (None) or pass False"
+            )
     if cov_pdf is not None:
         from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, covers_pdf
 

@@ -62,15 +62,26 @@ class SnapshotTable:
         with open(p) as f:
             return json.load(f)
 
-    def _commit(self, op: str, dirs: list[str]) -> int:
+    def _commit(self, op: str, dirs_fn) -> int:
         """Compare-and-swap publish (Iceberg commit semantics): the metadata
         file is linked into place with an EXCLUSIVE create, so two writers
         that both read the same latest_version() cannot both publish v<N> —
-        the loser gets CommitConflict and retries with a fresh version
-        (os.rename would silently clobber the winner's commit)."""
+        the loser gets FileExistsError and retries (os.rename would silently
+        clobber the winner's commit).
+
+        dirs_fn receives the dir list of the CURRENT latest snapshot and
+        returns the dir list to publish. It is re-evaluated on every retry:
+        an append that loses the race must recompute prev against the
+        winner's commit, or the winner's data dirs would silently vanish
+        from the new latest (the lost-update this CAS exists to prevent)."""
         for _attempt in range(100):
-            version = self.latest_version() + 1
-            meta = {"version": version, "op": op, "dirs": dirs, "ts": round(time.time(), 3)}
+            latest = self.latest_version()
+            prev_dirs = self._snapshot(latest)["dirs"] if latest else []
+            version = latest + 1
+            meta = {
+                "version": version, "op": op, "dirs": dirs_fn(prev_dirs),
+                "ts": round(time.time(), 3),
+            }
             tmp = os.path.join(self.meta_dir, f"v{version}.json.tmp.{os.getpid()}")
             with open(tmp, "w") as f:
                 json.dump(meta, f)
@@ -88,17 +99,20 @@ class SnapshotTable:
     # ----- writes (each produces a new immutable snapshot) -----
 
     def _next_data_dir(self) -> str:
-        """First free s<N> name considering BOTH live snapshots and on-disk
-        orphans from crashed commits — a crash between data write and
+        """First free s<N>-<pid> name considering BOTH live snapshots and
+        on-disk orphans from crashed commits — a crash between data write and
         metadata publish must not block the next commit (the orphan stays
-        invisible until vacuum() reclaims it)."""
+        invisible until vacuum() reclaims it). The pid suffix keeps two
+        CONCURRENT writers that read the same listing from colliding on the
+        same data dir (their commits are serialized by the CAS publish, but
+        the data writes happen before it)."""
         used = {self.latest_version()}
         if os.path.isdir(self.data_dir):
             for fn in os.listdir(self.data_dir):
-                m = re.fullmatch(r"s(\d+)", fn)
+                m = re.fullmatch(r"s(\d+)(?:-\d+)?", fn)
                 if m:
                     used.add(int(m.group(1)))
-        return os.path.join(self.data_dir, f"s{max(used) + 1}")
+        return os.path.join(self.data_dir, f"s{max(used) + 1}-{os.getpid()}")
 
     def _write_data(self, df: DataFrame) -> str:
         d = self._next_data_dir()
@@ -106,16 +120,17 @@ class SnapshotTable:
         return d
 
     def append(self, df: DataFrame) -> int:
-        """New snapshot = previous dirs + the new files (Iceberg append)."""
-        prev = self._snapshot(self.latest_version())["dirs"] if self.latest_version() else []
+        """New snapshot = previous dirs + the new files (Iceberg append).
+        prev is resolved INSIDE the CAS loop (see _commit) so a retry after
+        losing a commit race includes the winner's dirs."""
         d = self._write_data(df)
-        return self._commit("append", prev + [d])
+        return self._commit("append", lambda prev: prev + [d])
 
     def overwrite(self, df: DataFrame) -> int:
         """New snapshot sees only the new files; older versions still read
         the old data (this is what delete-then-write can never give)."""
         d = self._write_data(df)
-        return self._commit("overwrite", [d])
+        return self._commit("overwrite", lambda prev: [d])
 
     # ----- reads -----
 

@@ -67,6 +67,25 @@ def test_knn_exact_beyond_or_chain_cap(spark):
         assert have == want, f"{row.query_id}: {have} != {want}"
 
 
+def test_knn_k_exceeds_point_count_ranks_all_points(spark):
+    """k > n_pts must return the exact full ranking of every point (the old
+    path returned whatever the first radius happened to find — possibly
+    nothing)."""
+    from stac_to_geocore_spark.spatial.knn import knn_join
+
+    n = 7
+    lon, lat = image_centroids(np.arange(n), seed=9)
+    pts_pdf = pd.DataFrame({"image_id": [f"p{i}" for i in range(n)], "lon": lon, "lat": lat})
+    pts = spark.createDataFrame(pts_pdf)
+    q = pd.DataFrame({"query_id": ["q0"], "lon": [lon.mean() + 30.0], "lat": [lat.mean()]})
+    got = knn_join(pts, q, k=50).toPandas().sort_values("rank")
+    assert len(got) == n
+    mid = np.radians((q.lat[0] + pts_pdf.lat) / 2.0)
+    d2 = ((q.lon[0] - pts_pdf.lon) * np.cos(mid)) ** 2 + (q.lat[0] - pts_pdf.lat) ** 2
+    want = pts_pdf.assign(d2=d2).sort_values(["d2", "image_id"])["image_id"].tolist()
+    assert got["point_id"].tolist() == want
+
+
 # ------------------------------------------------------- bbox_overlap_join
 
 def test_bbox_overlap_distributed_path_no_driver_collect(spark, monkeypatch):
@@ -121,37 +140,63 @@ def test_bbox_overlap_mixed_small_big_matches_small_small(spark):
 
 # ------------------------------------------------- manifest merge durability
 
-def test_merge_crash_leaves_parts_and_old_manifest(tmp_path):
+def _parts_state(store):
+    from stac_to_geocore_spark.sources import sinks
+
+    live = os.path.isdir(store._path(sinks.PARTS_PREFIX))
+    consumed = os.path.isdir(store._path(sinks.PARTS_PREFIX) + sinks.CONSUMED_SUFFIX)
+    return live, consumed
+
+
+def test_merge_crash_before_publish_recovers(tmp_path):
+    """Crash between staging (parts -> consumed) and manifest publish: the
+    old manifest is untouched, ALL parts survive in the consumed dir, and a
+    re-run completes the merge with no key lost."""
     from stac_to_geocore_spark.sources import sinks
 
     store = sinks.LocalObjectStore(str(tmp_path))
     store.put(sinks.MANIFEST_KEY, "old-key\n")
     store.put(f"{sinks.PARTS_PREFIX}/part-00000.txt", "a\nb\n")
     store.put(f"{sinks.PARTS_PREFIX}/part-00001.txt", "c\n")
-
-    real_get = store.get
-    calls = {"n": 0}
-
-    def crashing_get(key):
-        if key.startswith(sinks.PARTS_PREFIX):
-            calls["n"] += 1
-            if calls["n"] == 2:
-                raise OSError("injected crash mid-merge")
-        return real_get(key)
-
-    store.get = crashing_get
-    with pytest.raises(OSError):
-        sinks.merge_manifest_parts(store)
-    # crash window: old manifest untouched, ALL parts still present
-    store.get = real_get
+    # simulate the crash window after step 1: parts staged, nothing published
+    os.rename(
+        store._path(sinks.PARTS_PREFIX),
+        store._path(sinks.PARTS_PREFIX) + sinks.CONSUMED_SUFFIX,
+    )
     assert store.get(sinks.MANIFEST_KEY) == "old-key\n"
-    parts = [k for k in store.list() if k.startswith(sinks.PARTS_PREFIX)]
-    assert len(parts) == 2
-    # re-run completes and is now durable
-    n = sinks.merge_manifest_parts(store)
+    n = sinks.merge_manifest_parts(store)  # the prescribed recovery: re-run
     assert n == 3
     assert store.get(sinks.MANIFEST_KEY) == "a\nb\nc\n"
-    assert not [k for k in store.list() if k.startswith(sinks.PARTS_PREFIX)]
+    assert _parts_state(store) == (False, False)
+
+
+def test_merge_crash_after_publish_is_idempotent(tmp_path):
+    """Crash between manifest publish and staging cleanup: a re-run rebuilds
+    the IDENTICAL manifest from the same consumed parts — no key dropped
+    (round 2's per-part deletion made this state lose keys)."""
+    from stac_to_geocore_spark.sources import sinks
+
+    store = sinks.LocalObjectStore(str(tmp_path))
+    store.put(f"{sinks.PARTS_PREFIX}/part-00000.txt", "a\nb\n")
+    store.put(f"{sinks.PARTS_PREFIX}/part-00001.txt", "c\n")
+    n = sinks.merge_manifest_parts(store)
+    assert n == 3
+    # simulate: the publish happened but the consumed dir survived a crash
+    os.makedirs(store._path(sinks.PARTS_PREFIX) + sinks.CONSUMED_SUFFIX, exist_ok=True)
+    with open(
+        os.path.join(store._path(sinks.PARTS_PREFIX) + sinks.CONSUMED_SUFFIX, "part-00000.txt"),
+        "w",
+    ) as f:
+        f.write("a\nb\n")
+    with open(
+        os.path.join(store._path(sinks.PARTS_PREFIX) + sinks.CONSUMED_SUFFIX, "part-00001.txt"),
+        "w",
+    ) as f:
+        f.write("c\n")
+    n2 = sinks.merge_manifest_parts(store)  # re-run: idempotent
+    assert n2 == 3
+    assert store.get(sinks.MANIFEST_KEY) == "a\nb\nc\n"
+    assert _parts_state(store) == (False, False)
 
 
 # ------------------------------------------------------ snapshot commit CAS
@@ -180,9 +225,14 @@ def test_snapshot_commit_is_compare_and_swap(spark, tmp_path):
         return real_latest()
 
     t.latest_version = stale_then_real
-    v3 = t._commit("append", ["/mine"])  # first attempt targets v2 -> conflict
+    # first attempt targets v2 -> conflict -> retry recomputes prev from the
+    # WINNER's v2, so the retried append must include the foreign dirs
+    v3 = t._commit("append", lambda prev: prev + ["/mine"])
     assert v3 == 3
     with open(os.path.join(t.meta_dir, "v2.json")) as f:
         assert json.load(f) == foreign  # the foreign commit survived intact
     t.latest_version = real_latest
     assert t.latest_version() == 3
+    v3_dirs = t._snapshot(3)["dirs"]
+    # no lost update: the loser's retry sees the winner's commit
+    assert "/elsewhere" in v3_dirs and "/mine" in v3_dirs
