@@ -1839,13 +1839,51 @@ def _oracles_all() -> dict[str, str]:
     }
 
 
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _known_answer_sql(name: str) -> str:
+    """Frozen known-answer oracle: the engine's deterministic outputs
+    (fixture-driven geocore/harvest/image/cover/lineage queries) frozen as
+    a VALUES literal by scripts/freeze_known_answers.py — a regression
+    changes the output and hash-fails the gate; the md5 rows are further
+    byte-anchored vs the reference by tests/test_geocore_golden.py."""
+    from stac_to_geocore_spark.known_answers import KNOWN
+
+    spec = KNOWN[name]
+    proj = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in spec["cols"])
+    names = ", ".join(c for c, _t in spec["cols"])
+    rows = ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in spec["rows"]
+    )
+    return f"SELECT {proj} FROM (VALUES {rows}) AS t({names})"
+
+
+_KNOWN_ANSWER_ORACLES = [
+    "geocore_translate", "geocore_collections", "geocore_root",
+    "harvest_sink_job", "stac_source_scan", "cover_udtf",
+    "image_verify", "image_decode_stats", "lineage_resume",
+]
+
+
 def oracle_sql() -> dict[str, str]:
     """Oracles for the driver gate: exactly the SQL-expressible subset of
     queries() (engine-only ops — cell encoders, seeded-hash dedup internals,
     geocore compat — stay rows-only). Demoted queries' oracles live in
     extra_oracle_sql() for the local gate twin."""
     q = set(queries())
-    return {k: v for k, v in _oracles_all().items() if k in q}
+    out = {k: v for k, v in _oracles_all().items() if k in q}
+    for name in _KNOWN_ANSWER_ORACLES:
+        if name in q and name not in out:
+            out[name] = _known_answer_sql(name)
+    return out
 
 
 def extra_oracle_sql() -> dict[str, str]:
