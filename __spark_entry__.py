@@ -1867,9 +1867,16 @@ def _known_answer_sql(name: str) -> str:
 
 
 _KNOWN_ANSWER_ORACLES = [
+    # fixture-driven, sf-independent
     "geocore_translate", "geocore_collections", "geocore_root",
     "harvest_sink_job", "stac_source_scan", "cover_udtf",
-    "image_verify", "image_decode_stats", "lineage_resume",
+    "image_verify", "image_decode_stats",
+    # deterministic at the gate's fixed sf0.01; seeded-hash internals are
+    # correctness-anchored elsewhere (planted-dup pytest, brute-force
+    # ngram/embedding oracles, recall tests) — the frozen literal adds
+    # exact regression detection the rows-only check could not give
+    "lineage_resume", "cell_rollup", "minhash_near_dup", "simhash",
+    "doc_fingerprint", "langid_heuristic", "ann_lsh", "ann_ivf",
 ]
 
 
