@@ -1232,6 +1232,29 @@ def _q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL spatial surface (sql_functions.register_spatial_sql):
+    h3_encode / h3_parent / s2_encode called FROM SQL over the fixed 7x7
+    known-answer grid — proves a SQL-only user gets the same cells as the
+    column API (which the frozen oracle pins)."""
+    from stac_to_geocore_spark.sql_functions import register_spatial_sql
+
+    register_spatial_sql(spark)
+    grid = spark.createDataFrame(
+        [(la, lo) for la, lo, lvl, _ in _S2_KNOWN if lvl == 8], "lat double, lon double"
+    )
+    grid.createOrReplaceTempView("_sqlsurface_grid")
+    return spark.sql(
+        """
+        SELECT lat, lon,
+               h3_encode(lat, lon, 7)               AS h3_r7,
+               h3_parent(h3_encode(lat, lon, 7), 5) AS cell_p5,
+               s2_encode(lat, lon, 12)              AS s2_l12
+        FROM _sqlsurface_grid
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-gate entries, HARD-CAPPED at 50 (the driver records CORRECTNESS
     rows for the first 50 dict positions only — rounds 1-2 registered 65 and
@@ -1264,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_udtf": _q_cover_udtf,
         "knn_ring": _q_knn,
         "s2_known_answer": _q_s2_known_answer,
+        "sql_surface_encode": _q_sql_surface,
         "cell_stats_grouped_map": _q_cell_stats,
         # --- relational engine extras ---
         "asof_latest_order": _q_asof_join,
@@ -1877,6 +1901,7 @@ _KNOWN_ANSWER_ORACLES = [
     # exact regression detection the rows-only check could not give
     "lineage_resume", "cell_rollup", "minhash_near_dup", "simhash",
     "doc_fingerprint", "langid_heuristic", "ann_lsh", "ann_ivf",
+    "sql_surface_encode",
 ]
 
 

@@ -138,6 +138,40 @@ def test_bbox_overlap_mixed_small_big_matches_small_small(spark):
     assert key(small) == key(forced)
 
 
+def test_pip_join_distributed_covers_path_exact(spark):
+    """polygons_are_dim=False forces the distributed covers_df path (no
+    driver collect of the polygon table); assignments must match the
+    driver-planned path exactly."""
+    from stac_to_geocore_spark.fixtures import POLYGONS_SCHEMA, gen_polygons_pdf, image_centroids
+    from stac_to_geocore_spark.spatial.pip import pip_join
+
+    lon, lat = image_centroids(np.arange(2000), seed=21)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"p{i}" for i in range(2000)], "lon": lon, "lat": lat})
+    )
+    polys = spark.createDataFrame(gen_polygons_pdf(20, seed=13), POLYGONS_SCHEMA)
+    dim = pip_join(pts, polys).toPandas()
+    dist = pip_join(pts, polys, polygons_are_dim=False, broadcast_covers=True).toPandas()
+    key = lambda df: set(zip(df.image_id, df.poly_id))  # noqa: E731
+    assert key(dim) == key(dist)
+    assert len(key(dim)) > 0
+
+
+def test_pip_join_dim_claim_violation_raises(spark):
+    """polygons_are_dim=True on a table over the cap must raise, not
+    silently collect or switch paths (the round-3 review finding)."""
+    from stac_to_geocore_spark.spatial.pip import pip_join
+
+    pts = spark.createDataFrame(pd.DataFrame({"image_id": ["a"], "lon": [0.0], "lat": [0.0]}))
+    big = spark.range(10_001).selectExpr(
+        "CAST(id AS STRING) AS poly_id",
+        "CAST(id % 100 AS DOUBLE) AS west", "CAST(id % 50 AS DOUBLE) AS south",
+        "CAST(id % 100 + 1 AS DOUBLE) AS east", "CAST(id % 50 + 1 AS DOUBLE) AS north",
+    )
+    with pytest.raises(ValueError, match="polygons_are_dim=True"):
+        pip_join(pts, big, polygons_are_dim=True)
+
+
 # ------------------------------------------------- manifest merge durability
 
 def _parts_state(store):

@@ -1,0 +1,66 @@
+"""SQL-registered cell encoders (sql_functions.register_spatial_sql) must
+match the Python column API exactly — same kernels, different surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from stac_to_geocore_spark.cells.h3x import h3_encode, h3_parent
+from stac_to_geocore_spark.cells.s2 import s2_encode
+from stac_to_geocore_spark.fixtures import image_centroids
+from stac_to_geocore_spark.sql_functions import register_spatial_sql
+
+
+def test_sql_functions_match_column_api(spark):
+    register_spatial_sql(spark)
+    lon, lat = image_centroids(np.arange(500), seed=4)
+    df = spark.createDataFrame(pd.DataFrame({"pid": np.arange(500), "lon": lon, "lat": lat}))
+    df.createOrReplaceTempView("pts_sqlfn")
+
+    via_sql = spark.sql(
+        """
+        SELECT pid,
+               h3_encode(lat, lon, 7)                 AS h3_r7,
+               h3_parent(h3_encode(lat, lon, 7), 5)   AS cell_p5,
+               s2_encode(lat, lon, 12)                AS s2_l12
+        FROM pts_sqlfn
+        """
+    ).toPandas().sort_values("pid").reset_index(drop=True)
+
+    via_col = (
+        df.select(
+            "pid",
+            h3_encode(F.col("lat"), F.col("lon"), 7).alias("h3_r7"),
+            h3_parent(h3_encode(F.col("lat"), F.col("lon"), 7), 5).alias("cell_p5"),
+            s2_encode(F.col("lat"), F.col("lon"), 12).alias("s2_l12"),
+        )
+        .toPandas().sort_values("pid").reset_index(drop=True)
+    )
+    for c in ["h3_r7", "cell_p5", "s2_l12"]:
+        assert (via_sql[c].to_numpy() == via_col[c].to_numpy()).all(), c
+
+
+def test_sql_functions_mixed_res_in_one_batch(spark):
+    """Per-row res arguments: one batch containing several res values must
+    encode each row at ITS res (the batch is grouped by distinct scalar)."""
+    register_spatial_sql(spark)
+    lon, lat = image_centroids(np.arange(300), seed=8)
+    pdf = pd.DataFrame({
+        "pid": np.arange(300), "lon": lon, "lat": lat,
+        "res": np.where(np.arange(300) % 3 == 0, 5, np.where(np.arange(300) % 3 == 1, 7, 9)),
+    })
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("pts_mixed_res")
+    got = spark.sql(
+        "SELECT pid, res, h3_encode(lat, lon, res) AS cell FROM pts_mixed_res"
+    ).toPandas().sort_values("pid").reset_index(drop=True)
+
+    from stac_to_geocore_spark.cells.h3x import h3_encode_np
+
+    for r in (5, 7, 9):
+        m = pdf["res"] == r
+        want = h3_encode_np(lat[m.to_numpy()], lon[m.to_numpy()], r)
+        have = got.loc[got.res == r, "cell"].to_numpy()
+        assert (have == want).all(), r
