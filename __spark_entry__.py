@@ -2,10 +2,14 @@
 
 entry(spark)   — flagship north-star pipeline (H3 encode + PIP join + tile
                  assignment) on a deterministic synthetic images table.
-queries()      — one callable per implemented operator (SURVEY.md §2).
-oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible query;
-                 engine-only ops (cell encoders, minhash, geocore compat)
-                 are rows-only checked.
+queries()      — one callable per implemented operator (SURVEY.md §2),
+                 hard-capped at 50 (the driver's CORRECTNESS window);
+                 demoted TPC-H/window variants live in extra_queries().
+oracle_sql()   — DuckDB oracle for EVERY gate query: live ANSI SQL where
+                 the logic is SQL-expressible, frozen known-answer VALUES
+                 literals (scripts/freeze_known_answers.py) for
+                 deterministic engine-only ops (cell encoders, minhash,
+                 geocore compat) — zero rows-only entries.
 
 Float discipline: every aggregate/derived float column is rounded in BOTH
 engines so the driver's value-hash is stable; synthetic coordinates are

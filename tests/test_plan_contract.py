@@ -40,6 +40,30 @@ def test_flagship_scan_pruned(spark, tmp_path):
     assert all("bytes" not in l and "caption" not in l for l in scan_lines), scan_lines
 
 
+def test_pip_join_broadcasts_covers_not_points(spark):
+    """The covers side must be the broadcast build side. Catalyst's size
+    estimates were picking the exploded POINTS side at small sf (round-3
+    find) — harmless locally, fatal at 10^12 points — so pip_join pins
+    F.broadcast on driver-planned covers."""
+    import pandas as pd
+    import numpy as np
+
+    from stac_to_geocore_spark.fixtures import POLYGONS_SCHEMA, gen_polygons_pdf, image_centroids
+    from stac_to_geocore_spark.spatial.pip import pip_join
+
+    lon, lat = image_centroids(np.arange(1000), seed=31)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"p{i}" for i in range(1000)], "lon": lon, "lat": lat})
+    )
+    polys = spark.createDataFrame(gen_polygons_pdf(16, seed=5), POLYGONS_SCHEMA)
+    p = _plan(pip_join(pts, polys))
+    assert "BroadcastHashJoin" in p
+    # build side = the LocalTableScan covers (BuildRight with points on the
+    # left); the points side (ArrowEvalPython encode) must NOT sit under a
+    # BroadcastExchange
+    assert "BuildRight" in p and "BuildLeft" not in p, p.splitlines()[:20]
+
+
 def test_q1_partial_aggregation(spark):
     import __spark_entry__ as m
 
