@@ -196,7 +196,16 @@ def pip_ring_join(
     from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, covers_pdf
 
     spark = points.sparkSession
-    rings_pdf = rings.toPandas()
+    # rings are a dim table by contract (their coordinate arrays must
+    # broadcast); the bounded probe makes a violated contract an explicit
+    # error instead of an unbounded driver collect
+    ring_dim_max = 10_000
+    rings_pdf = rings.limit(ring_dim_max + 1).toPandas()
+    if len(rings_pdf) > ring_dim_max:
+        raise ValueError(
+            f"pip_ring_join requires a dim-sized rings table (<= {ring_dim_max} "
+            f"rows — ring arrays are broadcast); pre-filter or tile the rings"
+        )
     if len(rings_pdf) == 0:
         return points.select(point_id).withColumn("poly_id", F.lit(None).cast("string")).filter(F.lit(False))
     polys_pdf = rings_pdf.assign(
