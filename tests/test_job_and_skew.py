@@ -109,3 +109,36 @@ def test_salted_cell_join_matches_plain(spark):
         for r in salted_cell_join(pts, covers, salts).select("image_id", "poly_id").collect()
     }
     assert plain == salted
+
+
+def test_salting_balances_hot_cell_across_subkeys(spark):
+    """The point of salting is load balance: a hot cell's rows must spread
+    ~evenly across its salt_factor sub-keys (the join reducers), not just
+    produce the same result. Structural check — no timing, host-independent."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # one pathological cell holding 90% of the rows (coastal-city skew)
+    n_hot, n_cold = 9000, 1000
+    pdf = pd.DataFrame({
+        "image_id": [f"p{i:05d}" for i in range(n_hot + n_cold)],
+        "cell": [7777] * n_hot + [100 + i % 50 for i in range(n_cold)],
+    })
+    pts = spark.createDataFrame(pdf)
+    salts = plan_salts(pts, sample_fraction=1.0)
+    assert 7777 in salts and salts[7777] >= 2, salts
+    factor = salts[7777]
+
+    covers = spark.createDataFrame(
+        pd.DataFrame({"cell": [7777] + [100 + i for i in range(50)],
+                      "poly_id": ["hot"] + [f"c{i}" for i in range(50)]})
+    )
+    joined = salted_cell_join(pts, covers, salts)
+    shares = (
+        joined.filter(F.col("cell") == 7777)
+        .groupBy("salt").count().toPandas().set_index("salt")["count"]
+    )
+    assert len(shares) == factor, f"hot cell used {len(shares)} of {factor} salts"
+    # deterministic-hash split: every sub-key within 30% of the even share
+    even = n_hot / factor
+    assert shares.max() <= 1.3 * even and shares.min() >= 0.7 * even, shares.to_dict()
