@@ -97,10 +97,11 @@ def flagship(
     # dim-sized polygon sets plan their covers on the driver (pure numpy, no
     # Spark job or extra python-worker round — same reasoning as the
     # reference's driver-side pagination planner); big polygon tables go
-    # through the distributed covers_df path
-    n_polys = polygons.count()
-    if n_polys <= 10_000:
-        pdf = polygons.toPandas()
+    # through the distributed covers_df path. ONE bounded limit-probe job
+    # doubles as the collect (a separate count() was an extra job per call)
+    driver_plan_max = 10_000
+    pdf = polygons.limit(driver_plan_max + 1).toPandas()
+    if len(pdf) <= driver_plan_max:
         from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, covers_pdf
 
         covers = images.sparkSession.createDataFrame(
