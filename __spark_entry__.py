@@ -1910,9 +1910,11 @@ _KNOWN_ANSWER_ORACLES = [
 
 
 def oracle_sql() -> dict[str, str]:
-    """Oracles for the driver gate: exactly the SQL-expressible subset of
-    queries() (engine-only ops — cell encoders, seeded-hash dedup internals,
-    geocore compat — stay rows-only). Demoted queries' oracles live in
+    """Oracles for the driver gate — one for EVERY queries() entry, zero
+    rows-only: live ANSI SQL where the logic is SQL-expressible, frozen
+    known-answer VALUES literals (_KNOWN_ANSWER_ORACLES, generated and
+    round-trip-validated by scripts/freeze_known_answers.py) for
+    deterministic engine-only ops. Demoted queries' oracles live in
     extra_oracle_sql() for the local gate twin."""
     q = set(queries())
     out = {k: v for k, v in _oracles_all().items() if k in q}

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stac_to_geocore_spark.cells.tiles import tile_x_expr, tile_y_expr
-from stac_to_geocore_spark.spatial.cover import covers_df
+from stac_to_geocore_spark.spatial.cover import DRIVER_DIM_MAX, covers_df
 
 COVER_RES = 5
 
@@ -99,7 +99,7 @@ def flagship(
     # reference's driver-side pagination planner); big polygon tables go
     # through the distributed covers_df path. ONE bounded limit-probe job
     # doubles as the collect (a separate count() was an extra job per call)
-    driver_plan_max = 10_000
+    driver_plan_max = DRIVER_DIM_MAX
     pdf = polygons.limit(driver_plan_max + 1).toPandas()
     if len(pdf) <= driver_plan_max:
         from stac_to_geocore_spark.spatial.cover import COVER_SCHEMA, covers_pdf

@@ -141,6 +141,11 @@ def cover_bbox_compact_np(west: float, south: float, east: float, north: float,
     return h3x.h3_compact_np(cells[full]), np.sort(cells[~full])
 
 
+# Shared driver-dim contract: a geometry table at or below this row count is
+# safe to collect and plan/broadcast driver-side (pip_join, pip_ring_join,
+# flagship, bbox_overlap_join all share this threshold — tune it in ONE place)
+DRIVER_DIM_MAX = 10_000
+
 COVER_SCHEMA = StructType(
     [
         StructField("poly_id", StringType(), False),

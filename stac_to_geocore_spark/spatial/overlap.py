@@ -31,6 +31,7 @@ from pyspark.sql.types import IntegerType
 
 from stac_to_geocore_spark.spatial.cover import (
     COVER_SCHEMA,
+    DRIVER_DIM_MAX,
     adaptive_res,
     covers_df,
     covers_pdf,
@@ -72,7 +73,7 @@ def bbox_overlap_join(
     res_max: int = 9,
     max_cells: int = 2048,
     fixed_res: int | None = None,
-    driver_plan_max: int = 10_000,
+    driver_plan_max: int = DRIVER_DIM_MAX,
 ) -> DataFrame:
     """All (id_a, id_b) pairs whose bboxes intersect (closed-edge semantics).
 

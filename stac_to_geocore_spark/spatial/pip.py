@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from stac_to_geocore_spark.cells.h3x import h3_encode, multi_res_cells
-from stac_to_geocore_spark.spatial.cover import covers_df
+from stac_to_geocore_spark.spatial.cover import DRIVER_DIM_MAX, covers_df
 
 
 def pip_join(
@@ -83,7 +83,7 @@ def pip_join(
     table, the predicate is what parquet min/max pruning pushes down.
     Bigger polygon tables go through the distributed covers_df path.
     """
-    driver_plan_max = 10_000
+    driver_plan_max = DRIVER_DIM_MAX
     pts = points.select(point_id, lon, lat)
     cov_pdf = None
     if polygons_are_dim is not False:
@@ -199,7 +199,7 @@ def pip_ring_join(
     # rings are a dim table by contract (their coordinate arrays must
     # broadcast); the bounded probe makes a violated contract an explicit
     # error instead of an unbounded driver collect
-    ring_dim_max = 10_000
+    ring_dim_max = DRIVER_DIM_MAX
     rings_pdf = rings.limit(ring_dim_max + 1).toPandas()
     if len(rings_pdf) > ring_dim_max:
         raise ValueError(

@@ -26,12 +26,18 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import LongType
 
 
-def _grouped_by_scalar(values: pd.Series, scalars: pd.Series, kernel) -> pd.Series:
-    """Apply kernel(rows_mask, scalar) per distinct scalar in the batch."""
-    out = np.empty(len(values), dtype=np.int64)
+def _grouped_by_scalar(scalars: pd.Series, valid: pd.Series, kernel) -> pd.Series:
+    """Apply kernel(rows_mask, scalar) per distinct scalar in the batch.
+
+    NULL-safe with standard SQL semantics (NULL in -> NULL out): rows where
+    any argument is null are excluded from the kernels and return null —
+    without this, a NULL res crashed int() on NaN and a NULL coordinate was
+    silently cast to INT64_MIN garbage."""
+    ok = (valid & scalars.notna()).to_numpy()
+    out = pd.array([None] * len(scalars), dtype="Int64")
     sc = scalars.to_numpy()
-    for sv in np.unique(sc):
-        m = sc == sv
+    for sv in np.unique(sc[ok]):
+        m = ok & (sc == sv)
         out[m] = kernel(m, int(sv))
     return pd.Series(out)
 
@@ -50,18 +56,26 @@ def register_spatial_sql(spark: SparkSession) -> None:
     def _h3_encode(lat: pd.Series, lon: pd.Series, res: pd.Series) -> pd.Series:
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
-        return _grouped_by_scalar(lat, res, lambda m, r: h3_encode_np(la[m], lo[m], r))
+        return _grouped_by_scalar(
+            res, lat.notna() & lon.notna(),
+            lambda m, r: h3_encode_np(la[m], lo[m], r),
+        )
 
     @pandas_udf(LongType())
     def _h3_parent(cell: pd.Series, res: pd.Series) -> pd.Series:
-        c = cell.to_numpy(np.int64)
-        return _grouped_by_scalar(cell, res, lambda m, r: h3_parent_np(c[m], r))
+        c = cell.fillna(0).to_numpy(np.int64)  # masked rows never reach the kernel
+        return _grouped_by_scalar(
+            res, cell.notna(), lambda m, r: h3_parent_np(c[m], r)
+        )
 
     @pandas_udf(LongType())
     def _s2_encode(lat: pd.Series, lon: pd.Series, level: pd.Series) -> pd.Series:
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
-        return _grouped_by_scalar(lat, level, lambda m, lv: s2_encode_np(la[m], lo[m], lv))
+        return _grouped_by_scalar(
+            level, lat.notna() & lon.notna(),
+            lambda m, lv: s2_encode_np(la[m], lo[m], lv),
+        )
 
     spark.udf.register("h3_encode", _h3_encode)
     spark.udf.register("h3_parent", _h3_parent)

@@ -42,6 +42,27 @@ def test_sql_functions_match_column_api(spark):
         assert (via_sql[c].to_numpy() == via_col[c].to_numpy()).all(), c
 
 
+def test_sql_functions_null_semantics(spark):
+    """Standard SQL semantics: NULL in any argument -> NULL out, never a
+    crash (NULL res used to raise on int(NaN)) and never silent garbage
+    (NULL cell used to become INT64_MIN's parent)."""
+    register_spatial_sql(spark)
+    got = spark.sql(
+        """
+        SELECT h3_encode(45.0, -75.0, CAST(NULL AS INT))     AS enc_null_res,
+               h3_encode(CAST(NULL AS DOUBLE), -75.0, 7)     AS enc_null_lat,
+               h3_parent(CAST(NULL AS BIGINT), 5)            AS par_null_cell,
+               s2_encode(45.0, CAST(NULL AS DOUBLE), 12)     AS s2_null_lon,
+               h3_encode(45.0, -75.0, 7)                     AS enc_ok
+        """
+    ).collect()[0]
+    assert got["enc_null_res"] is None
+    assert got["enc_null_lat"] is None
+    assert got["par_null_cell"] is None
+    assert got["s2_null_lon"] is None
+    assert got["enc_ok"] is not None
+
+
 def test_sql_functions_mixed_res_in_one_batch(spark):
     """Per-row res arguments: one batch containing several res values must
     encode each row at ITS res (the batch is grouped by distinct scalar)."""
