@@ -128,15 +128,18 @@ def _xyz_to_latlon(xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _xyz_to_face_plane(xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Max-dot face selection + gnomonic projection to that face's tangent plane."""
+    """Max-dot face selection + gnomonic projection to that face's tangent
+    plane. The plane coordinate is computed directly as
+    x = (xyz . e1) / (xyz . c): the tangent basis is orthogonal to the face
+    center (c . e1 = c . e2 = 0), so projecting the ray point p = xyz/scale
+    and subtracting c — round 2's formulation — is algebraically identical
+    but materializes two full (n, 3) temporaries the direct form skips
+    (~30% of the encode kernel)."""
     dots = xyz @ _FACE_CENTERS.T
     face = np.argmax(dots, axis=-1)
-    c = _FACE_CENTERS[face]
-    scale = np.einsum("...k,...k->...", xyz, c)
-    p = xyz / scale[..., None]  # gnomonic: ray to tangent plane at c
-    w = p - c
-    x = np.einsum("...k,...k->...", w, _FACE_E1[face])
-    y = np.einsum("...k,...k->...", w, _FACE_E2[face])
+    scale = np.take_along_axis(dots, face[..., None], -1)[..., 0]  # xyz . c
+    x = np.einsum("...k,...k->...", xyz, _FACE_E1[face]) / scale
+    y = np.einsum("...k,...k->...", xyz, _FACE_E2[face]) / scale
     return face, x + 1j * y
 
 

@@ -85,17 +85,57 @@ def _st_to_ij(s: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(s * (1 << MAX_LEVEL)), 0, (1 << MAX_LEVEL) - 1).astype(np.int64)
 
 
+_BLOCK = 5  # levels per blocked step (30 = 6 x 5)
+
+
+def _build_block_tables(levels: int):
+    """Precompute the Hilbert walk over `levels` levels at once:
+    pos_t[orientation, interleaved_ij_bits] -> 2*levels position bits,
+    or_t[...] -> orientation after the block. Built by running the
+    canonical 1-level tables, so the blocked walk is BIT-IDENTICAL to the
+    per-level walk — it just does 1/levels as many vector gathers."""
+    size = 4 ** levels
+    pos_t = np.zeros((4, size), np.int64)
+    or_t = np.zeros((4, size), np.int64)
+    for o in range(4):
+        for inp in range(size):
+            n = 0
+            oo = o
+            for lv in range(levels - 1, -1, -1):
+                ij = (inp >> (2 * lv)) & 3
+                p = int(_IJ_TO_POS[oo, ij])
+                n = (n << 2) | p
+                oo ^= int(_POS_TO_ORIENTATION[p])
+            pos_t[o, inp] = n
+            or_t[o, inp] = oo
+    return pos_t, or_t
+
+
+_POS_BLK, _OR_BLK = _build_block_tables(_BLOCK)
+# interleave[(i_bits << BLOCK) | j_bits] -> sequence of 2-bit ij codes,
+# most-significant level first (ij = i_bit<<1 | j_bit)
+_ILV = np.zeros(4 ** _BLOCK, np.int64)
+for _ib in range(2 ** _BLOCK):
+    for _jb in range(2 ** _BLOCK):
+        v = 0
+        for _lv in range(_BLOCK - 1, -1, -1):
+            v = (v << 2) | ((((_ib >> _lv) & 1) << 1) | ((_jb >> _lv) & 1))
+        _ILV[(_ib << _BLOCK) | _jb] = v
+_BLK_MASK = (1 << _BLOCK) - 1
+
+
 def _face_ij_to_leaf(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
-    """Vectorized Hilbert walk: 30 levels, 2 bits per level, per-row orientation state."""
+    """Vectorized Hilbert walk, 5 levels per step via precomputed block
+    tables (bit-identical to the canonical per-level walk; 6 gather rounds
+    instead of 30 — the walk was the s2 encode's hot loop)."""
     n = face.astype(np.uint64)
     orientation = (face & _SWAP_MASK).astype(np.int64)
-    for k in range(MAX_LEVEL - 1, -1, -1):
-        i_bit = (i >> k) & 1
-        j_bit = (j >> k) & 1
-        ij = (i_bit << 1) | j_bit
-        pos = _IJ_TO_POS[orientation, ij]
-        n = (n << np.uint64(2)) | pos.astype(np.uint64)
-        orientation = orientation ^ _POS_TO_ORIENTATION[pos]
+    for kb in range(MAX_LEVEL // _BLOCK - 1, -1, -1):
+        base = _BLOCK * kb
+        inp = _ILV[(((i >> base) & _BLK_MASK) << _BLOCK) | ((j >> base) & _BLK_MASK)]
+        pos = _POS_BLK[orientation, inp]
+        n = (n << np.uint64(2 * _BLOCK)) | pos.astype(np.uint64)
+        orientation = _OR_BLK[orientation, inp]
     return ((n << np.uint64(1)) | np.uint64(1)).astype(np.int64)  # two's-complement int64 view
 
 
