@@ -209,3 +209,39 @@ class TestTiles:
         ex, ey = tile_xy_np(LON[:1000], LAT[:1000], 12)
         assert (got["x"].to_numpy() == ex).all()
         assert (got["y"].to_numpy() == ey).all()
+
+
+def test_blocked_hilbert_walk_matches_per_level_walk():
+    """The 5-level blocked Hilbert tables must reproduce the canonical
+    per-level walk bit-for-bit (the tables are precomputed at import; a
+    table-build bug would corrupt every S2 id)."""
+    import numpy as np
+
+    from stac_to_geocore_spark.cells.s2 import (
+        _IJ_TO_POS,
+        _POS_TO_ORIENTATION,
+        _SWAP_MASK,
+        MAX_LEVEL,
+        _face_ij_to_leaf,
+    )
+
+    def per_level(face, i, j):
+        n = face.astype(np.uint64)
+        orientation = (face & _SWAP_MASK).astype(np.int64)
+        for k in range(MAX_LEVEL - 1, -1, -1):
+            ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+            pos = _IJ_TO_POS[orientation, ij]
+            n = (n << np.uint64(2)) | pos.astype(np.uint64)
+            orientation = orientation ^ _POS_TO_ORIENTATION[pos]
+        return ((n << np.uint64(1)) | np.uint64(1)).astype(np.int64)
+
+    rng = np.random.default_rng(42)
+    m = 50_000
+    face = rng.integers(0, 6, m)
+    i = rng.integers(0, 1 << 30, m)
+    j = rng.integers(0, 1 << 30, m)
+    # corners and diagonal too (all-0 / all-1 bit patterns stress the tables)
+    face = np.concatenate([face, [0, 5, 3]])
+    i = np.concatenate([i, [0, (1 << 30) - 1, 0x2AAAAAAA]])
+    j = np.concatenate([j, [0, (1 << 30) - 1, 0x15555555]])
+    assert (_face_ij_to_leaf(face, i, j) == per_level(face, i, j)).all()
