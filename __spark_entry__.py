@@ -252,6 +252,44 @@ def _q_bbox_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bbox_overlap_join(polys, polys).filter(F.col("id_a") < F.col("id_b"))
 
 
+def _orders_bbox_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """>DRIVER_DIM_MAX synthetic bboxes derived from the orders table by
+    integer column math (expressible identically in DuckDB, so the brute
+    pairwise oracle regenerates the same table) — forces bbox_overlap_join
+    down its DISTRIBUTED covers path (both sides too big to driver-plan)."""
+    o = _t(spark, sf_dir, "orders")
+    # QUADRATIC scatter (m*m + c*m mod 1e6), not the linear k*c mod 1e6 the
+    # point fixtures use: sf0.01 orderkeys are CONSECUTIVE, and a linear
+    # multiplicative scatter of consecutive keys is a low-discrepancy
+    # lattice whose points are never closer than ~0.4 deg — zero overlap
+    # pairs, a vacuous join. Squaring the permuted value breaks the lattice
+    # and the pair count behaves like a uniform scatter (~10^3 at sf0.01).
+    m1 = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1000000)
+    m2 = (F.col("o_orderkey") * F.lit(40503) + F.lit(971)) % F.lit(1000000)
+    lon = F.lit(-140.0) + ((m1 * m1 + F.lit(7) * m1) % F.lit(1000000)) / F.lit(1000000.0) * F.lit(86.0)
+    lat = F.lit(42.0) + ((m2 * m2 + F.lit(13) * m2) % F.lit(1000000)) / F.lit(1000000.0) * F.lit(40.0)
+    dx = F.lit(0.02) + (F.col("o_orderkey") % F.lit(5)).cast("double") * F.lit(0.01)
+    dy = F.lit(0.02) + (F.col("o_orderkey") % F.lit(7)).cast("double") * F.lit(0.005)
+    return o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("poly_id"),
+        (lon - dx).alias("west"), (lat - dy).alias("south"),
+        (lon + dx).alias("east"), (lat + dy).alias("north"),
+    )
+
+
+def _q_bbox_overlap_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100x-scale path of the region join (round-3 VERDICT #6): both
+    sides exceed DRIVER_DIM_MAX (15k orders-derived bboxes at sf0.01), so
+    covers are planned DISTRIBUTED (covers_df mapInPandas) and the join is a
+    cell equi-join with no broadcast of either side — the plan a regression
+    in the distributed-covers code now moves both a committed bench number
+    and this oracle-checked row."""
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    polys = _orders_bbox_polys(spark, sf_dir)
+    return bbox_overlap_join(polys, polys).filter(F.col("id_a") < F.col("id_b"))
+
+
 def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-res rollup on the true aperture-7 hierarchy: count per res-7
     cell once, then re-key to the res-5 ancestor with exact lattice-parent
@@ -809,6 +847,18 @@ def _q_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE byte-pair encoding under the frozen committed merge table
+    (text/bpe_vocab.py) — upgraded round 4 from the regex approximation,
+    which remains available as token_count_regex (extras, live SQL oracle).
+    BPE's order-dependent iterative merge loop is not relational, so the
+    oracle is a frozen known-answer literal; the algorithm itself is
+    anchored by tests/test_bpe.py's independent naive implementation."""
+    from stac_to_geocore_spark.text.bpe import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_to_geocore_spark.text.analysis import bpe_ish_token_count
 
     d = _t(spark, sf_dir, "documents")
@@ -951,6 +1001,51 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return ivf_topk(emb, q, k=10, dim=64, n_centroids=16, n_probe=6)
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall as a GATE signal (round-3 VERDICT #7): per-(method, query)
+    overlap@10 between each approximate index (LSH multi-probe, IVF) and the
+    exact brute-force top-10. The frozen oracle literal pins today's recall;
+    any regression in bucketing/probing changes an overlap count and
+    hash-fails the gate — recall is no longer guarded only by pytest floors.
+    Queries with ZERO overlap still emit a row (left join + coalesce), so a
+    total recall collapse cannot hide as a missing row."""
+    brute = _q_ann_topk(spark, sf_dir).select("query_id", "vec_id")
+    methods = {"lsh": _q_ann_lsh, "ivf": _q_ann_ivf}
+    outs = []
+    for m, fn in methods.items():
+        approx = fn(spark, sf_dir).select("query_id", "vec_id")
+        counts = (
+            approx.join(brute, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        outs.append(
+            brute.select("query_id").distinct()
+            .join(counts, "query_id", "left")
+            .select(
+                F.lit(m).alias("method"),
+                "query_id",
+                F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("overlap_at_10"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over real WAV bytes (round-3 VERDICT #4): the
+    fixture synthesizes RIFF/WAV clips (8/16-bit PCM, mono/stereo, 8/16 kHz)
+    with stdlib `wave`; audio_features parses them back with the same stdlib
+    parser and computes rate/length/duration/rms/peak/zero-crossings in
+    numpy. Deterministic -> frozen known-answer oracle."""
+    from stac_to_geocore_spark.fixtures import audio_df
+    from stac_to_geocore_spark.images.multimodal import audio_features
+
+    return audio_features(audio_df(spark, 60, partitions=8))
 
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_resume": _q_lineage_resume,
         "image_verify": _q_image_verify,
         "image_decode_stats": _q_image_decode,
+        "audio_stats": _q_audio_stats,
         # --- spatial engine (SURVEY §2.10) ---
         "tile_assign": _q_tile_assign,
         "pip_assign": _q_pip_assign,
@@ -1309,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
         "doc_stats": _q_doc_stats,
         "stopword_score": _q_stopword_score,
         "token_count_bpe": _q_token_count_bpe,
@@ -1318,7 +1415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- TPC-H / window representatives ---
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_local_supplier": _q5_local_supplier,
-        "q8_market_share": _q8_market_share,
         "rollup_summary": _q_rollup_summary,
         "top_customers_window": _q_top_customers,
         "events_hourly": _q_events_hourly,
@@ -1335,6 +1431,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries(). Oracle-checked by the local gate twin (verify_contract.py)
     and pytest; bench.py merges them back for cross-round comparability."""
     return {
+        # q8 demoted round 4 to free a gate slot for ann_recall/audio_stats;
+        # TPC-H stays represented in the gate by q1 (agg) and q5 (join tree),
+        # and q8's share-of-total CASE shape by q14 here
+        "q8_market_share": _q8_market_share,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_order_priority": _q4_order_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
@@ -1349,6 +1449,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": _q19_disjunctive,
         "q21_late_suppliers": _q21_late_suppliers,
         "q22_sales_opportunity": _q22_sales_opportunity,
+        "token_count_regex": _q_token_count_regex,
+        "bbox_overlap_distributed": _q_bbox_overlap_distributed,
         "customers_without_orders": _q_customers_without_orders,
         "moving_avg_orders": _q_moving_avg,
         "events_lead_lag": _q_lead_lag,
@@ -1681,6 +1783,29 @@ def _oracles_all() -> dict[str, str]:
               AND a.west <= b.east AND a.east >= b.west
               AND a.south <= b.north AND a.north >= b.south
         """,
+        "bbox_overlap_distributed": """
+            WITH m AS (
+              SELECT o_orderkey,
+                     (o_orderkey * 2654435761) % 1000000 AS m1,
+                     (o_orderkey * 40503 + 971) % 1000000 AS m2
+              FROM orders),
+            p AS (
+              SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS poly_id,
+                     -140.0 + ((m1 * m1 + 7 * m1) % 1000000) / 1000000.0 * 86.0 AS lon,
+                     42.0 + ((m2 * m2 + 13 * m2) % 1000000) / 1000000.0 * 40.0 AS lat,
+                     0.02 + CAST(o_orderkey % 5 AS DOUBLE) * 0.01 AS dx,
+                     0.02 + CAST(o_orderkey % 7 AS DOUBLE) * 0.005 AS dy
+              FROM m),
+            boxes AS (
+              SELECT poly_id, lon - dx AS west, lat - dy AS south,
+                     lon + dx AS east, lat + dy AS north
+              FROM p)
+            SELECT a.poly_id AS id_a, b.poly_id AS id_b
+            FROM boxes a, boxes b
+            WHERE a.poly_id < b.poly_id
+              AND a.west <= b.east AND a.east >= b.west
+              AND a.south <= b.north AND a.north >= b.south
+        """,
         "knn_ring": f"""
             WITH pts AS ({_POINTS_SQL}),
             q AS (SELECT * FROM (VALUES {knn_vals}) AS q(query_id, q_lon, q_lat)),
@@ -1711,7 +1836,7 @@ def _oracles_all() -> dict[str, str]:
                    CAST((LENGTH(text) - LENGTH(REPLACE(text, ' value ', ''))) / 7 AS BIGINT) AS n_value
             FROM documents
         """,
-        "token_count_bpe": r"""
+        "token_count_regex": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
@@ -1905,7 +2030,7 @@ _KNOWN_ANSWER_ORACLES = [
     # exact regression detection the rows-only check could not give
     "lineage_resume", "cell_rollup", "minhash_near_dup", "simhash",
     "doc_fingerprint", "langid_heuristic", "ann_lsh", "ann_ivf",
-    "sql_surface_encode",
+    "ann_recall", "audio_stats", "token_count_bpe", "sql_surface_encode",
 ]
 
 

@@ -90,6 +90,10 @@ def main() -> None:
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
         "top_customers_window", "events_hourly", "events_sessions",
         "tile_assign", "pip_assign", "knn_ring",
+        # the 100x-scale code paths, not just the dim/broadcast routes
+        # (round-3 VERDICT #6): salted-shuffle PIP and distributed-covers
+        # region join — a regression in either now moves a committed number
+        "pip_salted", "bbox_overlap_distributed",
         "dedup_exact", "doc_stats", "stopword_score", "ann_topk",
     ]
     qmap = entrymod.all_queries()  # bench suite spans gate + demoted entries

@@ -383,13 +383,17 @@ def h3_parent(cell: Column, parent_res: int) -> Column:
 def _session_cache_key():
     """Part of every UDF-cache key: pyspark memoizes UserDefinedFunction._judf
     against the JVM of the session that first used it, so a UDF cached across
-    a session restart would hold a dead-JVM handle. Keying by the active
-    SparkContext makes a fresh session get fresh UDFs (old entries age out
-    of the LRU)."""
+    a session restart would hold a dead-JVM handle. Keyed by
+    (applicationId, startTime) — stable for the life of a context and never
+    reused by a successor, unlike id(sparkContext), whose CPython id CAN be
+    reused after GC and collide a new context with a dead-JVM cache entry."""
     from pyspark.sql import SparkSession
 
     s = SparkSession.getActiveSession()
-    return id(s.sparkContext) if s is not None else None
+    if s is None:
+        return None
+    sc = s.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 @functools.lru_cache(maxsize=64)

@@ -472,3 +472,76 @@ def fake_fetch_factory(options: dict):
         page_size=int(options.get("page_size", 30)),
         seed=int(options.get("seed", DEFAULT_SEED)),
     )
+
+
+# --- audio clips (real WAV bytes for the multimodal audio operators) ---
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("fmt", StringType(), False),
+    ]
+)
+
+_AUDIO_RATES = (8000, 16000)
+_AUDIO_WIDTHS = (1, 2)  # WAV sample widths: 8-bit unsigned, 16-bit signed
+
+
+def _wav_bytes(pcm16: np.ndarray, rate: int, sampwidth: int, n_ch: int) -> bytes:
+    """Pack int16 PCM into a real RIFF/WAV container via stdlib `wave`
+    (the same parser images/multimodal.decode_audio reads back)."""
+    import io
+    import wave
+
+    if n_ch > 1:  # duplicate mono into channels (decode averages them back)
+        pcm16 = np.repeat(pcm16[:, None], n_ch, axis=1).ravel()
+    if sampwidth == 1:
+        frames = ((pcm16.astype(np.int32) // 256) + 128).astype(np.uint8).tobytes()
+    else:
+        frames = pcm16.astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def gen_audio_pdf(i: np.ndarray, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """Deterministic per-index WAV clips: sine tone, counter-based frequency /
+    amplitude / length / rate / width / channels (same splitmix64 scheme as
+    the images table, so any row generates independently on any executor)."""
+    i = np.asarray(i, dtype=np.int64)
+    ui = i.astype(np.uint64)
+    freq = 110.0 + np.floor(_u01(ui, 21, seed) * 16) * 55.0  # 110..935 Hz
+    amp = 0.1 + np.floor(_u01(ui, 22, seed) * 8) / 10.0      # 0.1..0.8
+    nsamp = (2000 + np.floor(_u01(ui, 23, seed) * 8) * 500).astype(np.int64)
+    rate = np.array(_AUDIO_RATES)[(_u01(ui, 24, seed) * 2).astype(np.int64) % 2]
+    width = np.array(_AUDIO_WIDTHS)[(_u01(ui, 25, seed) * 2).astype(np.int64) % 2]
+    n_ch = 1 + ((_u01(ui, 26, seed) * 2).astype(np.int64) % 2)
+    blobs = []
+    for k in range(len(i)):
+        t = np.arange(int(nsamp[k]), dtype=np.float64) / float(rate[k])
+        pcm16 = np.rint(np.sin(2 * np.pi * freq[k] * t) * amp[k] * 32000).astype(np.int16)
+        blobs.append(_wav_bytes(pcm16, int(rate[k]), int(width[k]), int(n_ch[k])))
+    return pd.DataFrame(
+        {
+            "audio_id": [f"aud-{int(x):08d}" for x in i],
+            "bytes": blobs,
+            "fmt": ["wav"] * len(i),
+        }
+    )
+
+
+def audio_df(spark: SparkSession, n: int, seed: int = DEFAULT_SEED,
+             partitions: int | None = None) -> DataFrame:
+    """Distributed audio table (counter-based mapInPandas, like images_df)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield gen_audio_pdf(b["id"].to_numpy(np.int64), seed)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, AUDIO_SCHEMA)

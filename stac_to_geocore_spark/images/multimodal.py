@@ -1,12 +1,14 @@
-"""Multimodal column operators: resize/thumbnail (real), audio/video frame
-sampling (plumbing real, codec stubbed).
+"""Multimodal column operators: resize/thumbnail (real), audio decode +
+features (real for WAV/PCM via stdlib `wave`), video frame sampling
+(plumbing real, codec stubbed).
 
 Modalities ride as opaque binary columns + typed metadata. The Spark-side
 contract — schema, Arrow batch shape, partitioning, UDF signatures — is real
-and tested for every modality; only the audio/video byte decoders are
-deterministic stubs (this container has no ffmpeg/soundfile — a cluster
-image plugs real decoders into the same registry, mirroring
-images/codecs._DECODERS).
+and tested for every modality. Uncompressed audio (WAV 8/16/24/32-bit PCM,
+any channel count) decodes for REAL via stdlib `wave`; only compressed
+audio and video byte decoders are deterministic stubs (this container has
+no ffmpeg/soundfile — a cluster image plugs real decoders into the same
+dispatch, mirroring images/codecs._DECODERS).
 """
 
 from __future__ import annotations
@@ -60,37 +62,87 @@ def thumbnails(images: DataFrame, size: int = 16, fmt: str = "png") -> DataFrame
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, THUMB_SCHEMA)
 
 
-# --- audio / video: real plumbing, stubbed codecs ---
+# --- audio: real WAV/PCM decode (stdlib), stub only for compressed ---
 
 
-def _decode_audio_stub(data: bytes, fmt: str) -> np.ndarray:
-    """STUB: no audio codecs in this container. Deterministic fake decode so
-    the pipeline plumbing is testable: bytes -> synthetic mono PCM whose
-    content is a pure function of the payload."""
+def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """bytes -> (mono float32 PCM in [-1, 1], sample_rate).
+
+    'wav' is a REAL decoder: stdlib `wave` parses the RIFF container
+    (PCM 8/16/24/32-bit, any channel count; channels averaged to mono) — no
+    external codec libs needed. 'fakepcm' stays as the raw-int16 test
+    payload (nominal 16 kHz). Compressed formats (mp3/flac/ogg) raise: those
+    codecs are absent in this container; a cluster image plugs a decoder
+    into this same dispatch, mirroring images/codecs._DECODERS."""
+    import io
+
+    if fmt == "wav":
+        import wave
+
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            raw = w.readframes(w.getnframes())
+        if sampwidth == 1:  # WAV 8-bit is UNSIGNED
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif sampwidth == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sampwidth == 3:  # 24-bit packed: widen via zero-padded low byte
+            b3 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            b4 = np.zeros((len(b3), 4), dtype=np.uint8)
+            b4[:, 1:] = b3
+            x = b4.view("<i4").ravel().astype(np.float32) / 2147483648.0
+        elif sampwidth == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported WAV sample width {sampwidth}")
+        if n_ch > 1:
+            x = x.reshape(-1, n_ch).mean(axis=1)
+        return x, rate
     if fmt == "fakepcm":
-        return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+        return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0, 16000
     raise NotImplementedError(
-        f"audio format {fmt!r}: real codec libs (soundfile/ffmpeg) are absent "
-        "in this container; plug a decoder here on a cluster image"
+        f"audio format {fmt!r}: compressed-audio codec libs (soundfile/ffmpeg) "
+        "are absent in this container; plug a decoder here on a cluster image"
     )
 
 
-AUDIO_FEATURES_SCHEMA = "audio_id string, n_samples long, rms double, peak double"
+def _decode_audio_stub(data: bytes, fmt: str) -> np.ndarray:
+    """Back-compat shim for the pre-round-4 stub name (tests)."""
+    return decode_audio(data, fmt)[0]
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, sample_rate int, n_samples long, duration_ms long, "
+    "rms double, peak double, zero_crossings long"
+)
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """(audio_id, bytes, fmt) -> per-clip loudness features. Batch shape and
-    schema are the real engine surface; decode is the stub above."""
+    """(audio_id, bytes, fmt) -> per-clip features: sample rate, length,
+    duration, loudness (rms/peak) and zero-crossing count — the standard
+    audio-curation signals (silence/clipping/noise screens). Runs on REAL
+    WAV bytes via decode_audio; mapInPandas over fat binary rows, numpy
+    per batch (no per-row Python in the math)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples(index=False):
-                pcm = _decode_audio_stub(bytes(r.bytes), r.fmt)
-                rms = float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
-                peak = float(np.abs(pcm).max()) if len(pcm) else 0.0
-                rows.append((r.audio_id, len(pcm), round(rms, 6), round(peak, 6)))
-            yield pd.DataFrame(rows, columns=["audio_id", "n_samples", "rms", "peak"])
+                pcm, rate = decode_audio(bytes(r.bytes), r.fmt)
+                n = len(pcm)
+                rms = float(np.sqrt(np.mean(pcm * pcm))) if n else 0.0
+                peak = float(np.abs(pcm).max()) if n else 0.0
+                # sign CHANGES between consecutive samples (exact zeros count
+                # as positive — signbit(0.0) is False — so the rule is total)
+                zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if n > 1 else 0
+                rows.append((
+                    r.audio_id, rate, n, n * 1000 // rate if rate else 0,
+                    round(rms, 6), round(peak, 6), zc,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "sample_rate", "n_samples", "duration_ms",
+                "rms", "peak", "zero_crossings",
+            ])
 
     return audio.select("audio_id", "bytes", "fmt").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 

@@ -121,6 +121,13 @@ def bbox_overlap_join(
         cov_b = F.broadcast(cov_b)
     elif a_small:
         cov_a = F.broadcast(cov_a)
+    else:
+        # BOTH sides big: pin sort-merge on the cell key. Without the hint,
+        # AQE's runtime stats can flip a multi-million-row cover side to a
+        # broadcast build and OOM the driver (observed in a vanilla 1g
+        # session at sf0.01) — and at 100 TB a broadcast of either side is
+        # never the right plan; the shuffle-on-cell co-location is.
+        cov_a = cov_a.hint("merge")
     return (
         cov_a.join(cov_b, "cell")
         .filter(

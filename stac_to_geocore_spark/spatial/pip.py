@@ -208,6 +208,18 @@ def pip_ring_join(
         )
     if len(rings_pdf) == 0:
         return points.select(point_id).withColumn("poly_id", F.lit(None).cast("string")).filter(F.lit(False))
+    # refine_ring keys its vectorized groups by poly_id and ray-casts every
+    # group row against the FIRST row's ring arrays — duplicate poly_ids
+    # with different geometries (multi-ring polygons) would be silently
+    # tested against the wrong ring. One ring per poly_id is the contract;
+    # enforce it here rather than corrupt containment downstream.
+    if rings_pdf["poly_id"].duplicated().any():
+        dups = sorted(rings_pdf.loc[rings_pdf["poly_id"].duplicated(), "poly_id"].unique()[:5])
+        raise ValueError(
+            f"pip_ring_join requires one ring per poly_id (refine groups by "
+            f"poly_id); duplicates: {dups} — split multi-ring polygons into "
+            f"distinct poly_ids and union the assignments"
+        )
     polys_pdf = rings_pdf.assign(
         west=rings_pdf["ring_lon"].map(min), east=rings_pdf["ring_lon"].map(max),
         south=rings_pdf["ring_lat"].map(min), north=rings_pdf["ring_lat"].map(max),

@@ -76,6 +76,13 @@ class LineageWriter:
 
         df = df.persist()
         try:
+            # collects only the DISTINCT partition-key list: the key is a
+            # coarse cell prefix (e.g. h3 res-5 parent) by design, so its
+            # cardinality is bounded by the cell vocabulary (~10^4-10^5 at
+            # planetary coverage), not by the row count — driver-safe at
+            # 100 TB. A caller partitioning by a high-cardinality key would
+            # also produce that many commit batches, which is the real
+            # misuse; the collect is not the binding constraint.
             all_parts = [r[0] for r in df.select(pc).distinct().collect()]
             pending = sorted(str(p) for p in all_parts if str(p) not in done)
             batches = (

@@ -33,6 +33,19 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _pid_alive(pid: int) -> bool:
+    """True iff a process with this pid exists (signal 0 probes without
+    sending). Guards vacuum's tmp sweep: a LIVE writer's in-flight tmp file
+    must survive; only tmps from dead pids are stale."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
@@ -145,7 +158,10 @@ class SnapshotTable:
 
     def vacuum(self) -> list[str]:
         """Drop data dirs no live snapshot references (crash orphans or
-        post-retention cleanup). Returns removed dirs."""
+        post-retention cleanup) and stale commit tmp files (a writer that
+        died between open() and unlink() in _commit leaves v<N>.json.tmp.<pid>
+        behind forever — nothing else reclaims meta_dir). Returns removed
+        paths."""
         import shutil
 
         live: set[str] = set()
@@ -158,4 +174,11 @@ class SnapshotTable:
                 if d not in live:
                     shutil.rmtree(d)
                     removed.append(d)
+        if os.path.isdir(self.meta_dir):
+            for fn in sorted(os.listdir(self.meta_dir)):
+                m = re.fullmatch(r"v\d+\.json\.tmp\.(\d+)", fn)
+                if m and not _pid_alive(int(m.group(1))):
+                    p = os.path.join(self.meta_dir, fn)
+                    os.unlink(p)
+                    removed.append(p)
         return removed

@@ -76,6 +76,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_band_size: int | None = None,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
@@ -99,7 +100,14 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_k, seed).select(id_col, "sig")
-    sigs = sigs.persist()
+    # NO unconditional full-corpus persist: (id, 64xlong sig) at 10^11 docs
+    # is a ~50 TB cache to save recomputing a map-only Arrow UDF across the
+    # three consumers (band keys + both sides of the estimate join) — the
+    # same trade knn.py rejects for its points table. Default: recompute
+    # (signatures are map-only, scans prune to (id, text)); callers on
+    # cache-sized corpora opt in with persist_signatures=True.
+    if persist_signatures:
+        sigs = sigs.persist()
 
     band_keys = sigs.select(
         id_col,

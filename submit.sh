@@ -5,9 +5,7 @@
 set -euo pipefail
 cd "$(dirname "$0")"
 
-mkdir -p dist
-rm -f dist/stac_to_geocore_spark.zip
-(cd . && zip -qr dist/stac_to_geocore_spark.zip stac_to_geocore_spark -x '*__pycache__*')
+scripts/build_dist.sh
 
 N_IMAGES="${1:-100000}"
 N_POLYS="${2:-32}"

@@ -65,3 +65,64 @@ def test_audio_stub_is_deterministic():
     a = _decode_audio_stub(data, "fakepcm")
     b = _decode_audio_stub(data, "fakepcm")
     assert (a == b).all()
+
+
+# --- real WAV decode (stdlib wave; round-4 upgrade) ---
+
+
+def test_wav_decode_16bit_mono_roundtrip():
+    from stac_to_geocore_spark.fixtures import _wav_bytes
+    from stac_to_geocore_spark.images.multimodal import decode_audio
+
+    x = np.array([-32768, -1, 0, 1, 32767], dtype=np.int16)
+    pcm, rate = decode_audio(_wav_bytes(x, 8000, 2, 1), "wav")
+    assert rate == 8000
+    assert np.allclose(pcm, x.astype(np.float32) / 32768.0)
+
+
+def test_wav_decode_stereo_averages_channels():
+    from stac_to_geocore_spark.fixtures import _wav_bytes
+    from stac_to_geocore_spark.images.multimodal import decode_audio
+
+    x = np.array([1000, -1000, 500], dtype=np.int16)
+    pcm, rate = decode_audio(_wav_bytes(x, 16000, 2, 2), "wav")
+    assert rate == 16000 and len(pcm) == 3
+    # fixture duplicates mono into both channels; the mean gives it back
+    assert np.allclose(pcm, x.astype(np.float32) / 32768.0)
+
+
+def test_wav_decode_8bit_unsigned():
+    from stac_to_geocore_spark.fixtures import _wav_bytes
+    from stac_to_geocore_spark.images.multimodal import decode_audio
+
+    x = np.array([-32768, 0, 32512], dtype=np.int16)  # -> bytes 0, 128, 255
+    pcm, _rate = decode_audio(_wav_bytes(x, 8000, 1, 1), "wav")
+    assert np.allclose(pcm, [-1.0, 0.0, 127.0 / 128.0])
+
+
+def test_audio_features_on_real_wav(spark):
+    from stac_to_geocore_spark.fixtures import audio_df, gen_audio_pdf
+    from stac_to_geocore_spark.images.multimodal import audio_features, decode_audio
+
+    out = {r.audio_id: r for r in audio_features(audio_df(spark, 12, partitions=4)).collect()}
+    assert len(out) == 12
+    pdf = gen_audio_pdf(np.arange(12))
+    for r in pdf.itertuples(index=False):
+        pcm, rate = decode_audio(bytes(r.bytes), "wav")
+        got = out[r.audio_id]
+        assert got.sample_rate == rate and got.n_samples == len(pcm)
+        assert got.duration_ms == len(pcm) * 1000 // rate
+        # same float32 expression as audio_features -> bit-identical
+        assert got.rms == round(float(np.sqrt(np.mean(pcm * pcm))), 6)
+        assert got.peak == round(float(np.abs(pcm).max()), 6)
+        # a sine tone crosses zero ~2*freq*duration times
+        assert got.zero_crossings > 0
+
+
+def test_audio_compressed_format_still_raises():
+    from stac_to_geocore_spark.images.multimodal import decode_audio
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="codec libs.*absent"):
+        decode_audio(b"\xff\xfb\x90", "mp3")
