@@ -46,10 +46,23 @@ def _min_res_pdf(pdf, res_min: int, res_max: int, max_cells: int) -> int:
     return res
 
 
-def _min_res_distributed(df: DataFrame, res_min: int, res_max: int, max_cells: int) -> int:
-    """Coarsest adaptive res over a big region table: one narrow agg (the
-    per-row res is computed in an Arrow batch, only the min crosses the
-    wire)."""
+def _area_rad2_col():
+    # built lazily, NOT at module import: executors import this module when
+    # unpickling the _res UDF, and Column construction asserts an active
+    # SparkContext (absent on workers)
+    return (
+        F.radians(F.col("east") - F.col("west"))
+        * F.radians(F.col("north") - F.col("south"))
+        * F.cos(F.radians((F.col("south") + F.col("north")) / F.lit(2.0)))
+    )
+
+
+def _res_stats_distributed(
+    df: DataFrame, res_min: int, res_max: int, max_cells: int
+) -> tuple[int, float]:
+    """(coarsest adaptive res, mean bbox area rad^2) over a big region
+    table in ONE narrow agg/scan: the per-row res is computed in an Arrow
+    batch, the area in JVM column math; only two scalars cross the wire."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(IntegerType())
@@ -61,9 +74,49 @@ def _min_res_distributed(df: DataFrame, res_min: int, res_max: int, max_cells: i
         ])
 
     row = df.select(
-        F.min(_res(F.col("west"), F.col("south"), F.col("east"), F.col("north"))).alias("r")
+        F.min(_res(F.col("west"), F.col("south"), F.col("east"), F.col("north"))).alias("r"),
+        F.avg(_area_rad2_col()).alias("a"),
     ).collect()[0]
-    return int(row["r"]) if row["r"] is not None else res_max
+    return (
+        int(row["r"]) if row["r"] is not None else res_max,
+        float(row["a"]) if row["a"] is not None else 0.0,
+    )
+
+
+def _res_stats_pdf(pdf, res_min: int, res_max: int, max_cells: int) -> tuple[int, float]:
+    if len(pdf) == 0:
+        return res_max, 0.0
+    import numpy as np
+
+    mean_area = float(np.mean(
+        np.radians(pdf["east"] - pdf["west"])
+        * np.radians(pdf["north"] - pdf["south"])
+        * np.cos(np.radians((pdf["south"] + pdf["north"]) / 2.0))
+    ))
+    return _min_res_pdf(pdf, res_min, res_max, max_cells), mean_area
+
+
+def _res_for_mean_area(mean_area_rad2: float, res_min: int, res_max: int,
+                       target_cells: float) -> int:
+    """Finest res whose cell area keeps the MEAN box's cover near
+    target_cells. adaptive_res caps the WORST box (max_cells protects the
+    cover explosion of a huge polygon); this sizes the TYPICAL box — for a
+    region-region join the cover row count is what shuffles, and a box much
+    smaller than max_cells' worth of cells gains nothing from fine cells
+    (measured: 0.1-deg boxes at res 9 cover ~430 cells each vs ~4 at the
+    mean-sized res — a 100x shuffle-volume difference for the same exact
+    result, since the refine predicate removes the extra coarse-res
+    candidates either way)."""
+    import math
+
+    from stac_to_geocore_spark.cells import h3x
+
+    for res in range(res_max, res_min - 1, -1):
+        s = h3x.res_spacing(res)
+        cell_area = (math.sqrt(3.0) / 2.0) * s * s
+        if mean_area_rad2 / cell_area <= target_cells:
+            return res
+    return res_min
 
 
 def bbox_overlap_join(
@@ -74,6 +127,7 @@ def bbox_overlap_join(
     max_cells: int = 2048,
     fixed_res: int | None = None,
     driver_plan_max: int = DRIVER_DIM_MAX,
+    target_cells_per_box: float = 4.0,
 ) -> DataFrame:
     """All (id_a, id_b) pairs whose bboxes intersect (closed-edge semantics).
 
@@ -91,17 +145,26 @@ def bbox_overlap_join(
     if fixed_res is not None:
         res = fixed_res
     else:
-        # one res for BOTH sides (the completeness argument needs it): the
-        # coarsest adaptive res over all bboxes, so no cover exceeds max_cells
-        res = res_max
+        # one res for BOTH sides (the completeness argument needs it), from
+        # two bounds: (1) cap_res — the coarsest adaptive res over all
+        # bboxes, so no single cover exceeds max_cells; (2) mean_res — the
+        # res sized to the MEAN box (~target_cells_per_box cells each),
+        # because total cover rows = shuffle volume and the finest-that-
+        # fits choice inflates tiny-box covers ~100x for zero extra
+        # selectivity (the exact refine runs on candidates either way).
+        # Take the coarser of the two: the cap can only loosen when cells
+        # grow, so max_cells still holds.
+        cap_res, mean_area = res_max, 0.0
         for pdf, small, df in ((pdf_a, a_small, polys_a), (pdf_b, b_small, polys_b)):
-            res = min(
-                res,
-                _min_res_pdf(pdf, res_min, res_max, max_cells)
+            r, a = (
+                _res_stats_pdf(pdf, res_min, res_max, max_cells)
                 if small
-                else _min_res_distributed(df, res_min, res_max, max_cells),
+                else _res_stats_distributed(df, res_min, res_max, max_cells)
             )
-        res = max(res, res_min)
+            cap_res = min(cap_res, r)
+            mean_area = max(mean_area, a)
+        mean_res = _res_for_mean_area(mean_area, res_min, res_max, target_cells_per_box)
+        res = max(res_min, min(cap_res, mean_res))
 
     def side(df: DataFrame, pdf, small: bool, tag: str) -> DataFrame:
         cov = (

@@ -260,7 +260,11 @@ def refine_ring(
     Fully vectorized: rows are grouped by poly_id via pd.factorize (C, not
     per-row Python — round 2 keyed groups by hashing the full ring arrays
     per row, O(rows x ring_len) Python), and each group is ray-cast in ONE
-    numpy broadcast (points x edges)."""
+    numpy broadcast (points x edges). Memory bound: the crossing matrix is
+    (group rows in batch) x (ring vertices) float64 — ~8 MB for a 1024-row
+    Arrow batch against a 1k-vertex ring; for RINGS with 10^5+ vertices,
+    shrink spark.sql.execution.arrow.maxRecordsPerBatch or switch callers
+    to applyInPandas keyed by poly_id so each task holds one ring."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BooleanType())

@@ -270,3 +270,57 @@ def test_snapshot_commit_is_compare_and_swap(spark, tmp_path):
     v3_dirs = t._snapshot(3)["dirs"]
     # no lost update: the loser's retry sees the winner's commit
     assert "/elsewhere" in v3_dirs and "/mine" in v3_dirs
+
+
+# ------------------------------------------- round-4 overlap res tuning
+
+
+def test_overlap_mean_res_is_coarser_than_cap_for_tiny_boxes():
+    """Tiny boxes must NOT cover at the finest cap-fitting res: the mean-box
+    rule picks the res where a typical cover is ~target_cells_per_box."""
+    import numpy as np
+    import pandas as pd
+
+    from stac_to_geocore_spark.spatial.overlap import (
+        _res_for_mean_area,
+        _res_stats_pdf,
+    )
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-120, -60, 200)
+    lat = rng.uniform(45, 75, 200)
+    pdf = pd.DataFrame({
+        "poly_id": [f"t{i}" for i in range(200)],
+        "west": lon, "south": lat, "east": lon + 0.08, "north": lat + 0.07,
+    })
+    cap_res, mean_area = _res_stats_pdf(pdf, 3, 9, 2048)
+    mean_res = _res_for_mean_area(mean_area, 3, 9, 4.0)
+    assert cap_res == 9  # tiny boxes fit max_cells even at the finest res
+    assert mean_res < cap_res  # the tuned res is strictly coarser
+
+
+def test_overlap_join_output_invariant_under_res_choice(spark):
+    """Same exact pair set at the tuned res, the old finest res, and a very
+    coarse res — the refine predicate makes res a pure performance knob."""
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    rows = []
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for i in range(60):
+        w = rng.uniform(-100, -90)
+        s = rng.uniform(50, 58)
+        rows.append((f"b{i}", float(w), float(s), float(w + 0.4), float(s + 0.3)))
+    df = spark.createDataFrame(rows, "poly_id string, west double, south double, east double, north double")
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in bbox_overlap_join(df, df, **kw).filter("id_a < id_b").collect()
+        }
+
+    tuned = pairs()
+    assert tuned == pairs(fixed_res=9)
+    assert tuned == pairs(fixed_res=4)
+    assert len(tuned) > 0
