@@ -181,28 +181,55 @@ def covers_pdf(polys_pdf: pd.DataFrame, res_min: int = 5, res_max: int = 9,
 
 
 def covers_df(polys: DataFrame, res_min: int = 5, res_max: int = 9,
-              max_cells: int = 2048, fixed_res: int | None = None) -> DataFrame:
+              max_cells: int = 2048, fixed_res: int | None = None,
+              min_partitions: int | None = None) -> DataFrame:
     """Distributed cover generation: one output row per (polygon, cell).
 
     polys: (poly_id, west, south, east, north). Cover synthesis is pure numpy
     per polygon inside mapInPandas — scales with polygon count, and each
     polygon's cover is bounded by max_cells via adaptive resolution.
+
+    Parallelism: cover synthesis is CPU-bound Python work (~0.3 ms/polygon),
+    but a compact parquet dim table often reads as 1-2 file-split
+    partitions — which would serialize 10^5 polygons onto 1-2 cores (this
+    cost 100+ s at sf0.1 before the fix). The input is repartitioned up to
+    the cluster's core count when it arrives with fewer partitions; the
+    shuffled rows are 5 scalars each, so the exchange is trivially cheap
+    relative to the python work it parallelizes.
     """
+    if min_partitions is None:
+        min_partitions = polys.sparkSession.sparkContext.defaultParallelism
+    if polys.rdd.getNumPartitions() < min_partitions:
+        polys = polys.repartition(min_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
+            ids, ress, cells_l, full_l = [], [], [], []
             for row in b.itertuples(index=False):
                 res = fixed_res if fixed_res is not None else adaptive_res(
                     row.west, row.south, row.east, row.north, res_min, res_max, max_cells)
                 cells, full = cover_bbox_np(row.west, row.south, row.east, row.north, res)
-                out.append(pd.DataFrame({
-                    "poly_id": row.poly_id, "res": np.int32(res), "cell": cells,
-                    "fully_inside": full, "west": row.west, "south": row.south,
-                    "east": row.east, "north": row.north,
-                }))
-            yield pd.concat(out) if out else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in COVER_SCHEMA.fields})
+                ids.append(row.poly_id)
+                ress.append(res)
+                cells_l.append(cells)
+                full_l.append(full)
+            if not ids:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in COVER_SCHEMA.fields})
+                continue
+            # ONE frame per Arrow batch (a per-polygon DataFrame + concat
+            # costs ~0.14 ms/polygon — as much as the cover kernel itself)
+            counts = np.array([len(c) for c in cells_l])
+            yield pd.DataFrame({
+                "poly_id": np.repeat(np.asarray(ids, dtype=object), counts),
+                "res": np.repeat(np.asarray(ress, dtype=np.int32), counts),
+                "cell": np.concatenate(cells_l),
+                "fully_inside": np.concatenate(full_l),
+                "west": np.repeat(b["west"].to_numpy(np.float64), counts),
+                "south": np.repeat(b["south"].to_numpy(np.float64), counts),
+                "east": np.repeat(b["east"].to_numpy(np.float64), counts),
+                "north": np.repeat(b["north"].to_numpy(np.float64), counts),
+            })
 
     return polys.mapInPandas(gen, COVER_SCHEMA)
 
