@@ -24,6 +24,7 @@ driver (round 2 unconditionally toPandas()'d BOTH sides).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,15 +64,30 @@ def _res_stats_distributed(
     """(coarsest adaptive res, mean bbox area rad^2) over a big region
     table in ONE narrow agg/scan: the per-row res is computed in an Arrow
     batch, the area in JVM column math; only two scalars cross the wire."""
+    import math
+
     from pyspark.sql.functions import pandas_udf
+
+    from stac_to_geocore_spark.cells import h3x
+
+    # adaptive_res, vectorized: res r fits iff bbox_area <= max_cells *
+    # cell_area(r); the threshold grows monotonically as r coarsens, so the
+    # satisfied set is a suffix [res_min..r*] and r* = res_min - 1 + count.
+    thresh = np.array([
+        max_cells * (math.sqrt(3.0) / 2.0) * h3x.res_spacing(r) ** 2
+        for r in range(res_min, res_max + 1)
+    ])
 
     @pandas_udf(IntegerType())
     def _res(w: pd.Series, s: pd.Series, e: pd.Series, n: pd.Series) -> pd.Series:
-        return pd.Series([
-            adaptive_res(float(wi), float(si), float(ei), float(ni),
-                         res_min, res_max, max_cells)
-            for wi, si, ei, ni in zip(w, s, e, n)
-        ])
+        wv, sv, ev, nv = (x.to_numpy(np.float64) for x in (w, s, e, n))
+        areas = np.maximum(
+            1e-12,
+            np.radians(ev - wv) * np.radians(nv - sv)
+            * np.cos(np.radians((sv + nv) / 2.0)),
+        )
+        fits = areas[:, None] <= thresh[None, :]
+        return pd.Series((res_min - 1 + fits.sum(axis=1)).clip(res_min).astype("int32"))
 
     row = df.select(
         F.min(_res(F.col("west"), F.col("south"), F.col("east"), F.col("north"))).alias("r"),

@@ -96,6 +96,11 @@ def minhash_lsh_pairs(
     (default None = exact recall, quadratic hot buckets and all) so the
     recall trade is never silently applied to an unsuspecting caller; scale
     pipelines pass e.g. max_band_size=1024 explicitly.
+
+    persist_signatures caches the signature table across its three
+    consumers (band keys + both sides of the estimate join). OFF by
+    default: at 10^11 docs that cache is ~50 TB; recomputing the map-only
+    signature UDF is the scale-correct trade (see inline comment).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands

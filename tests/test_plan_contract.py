@@ -78,3 +78,26 @@ def test_dim_joins_broadcast(spark):
 
     p = _plan(m.queries()["q5_local_supplier"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in p  # nation/region dims
+
+
+def test_bbox_overlap_both_big_sort_merges_never_broadcasts(spark):
+    """Both sides above driver_plan_max: the cover equi-join must be a
+    SortMergeJoin on the cell key — a broadcast of a multi-million-row
+    cover side OOMs real drivers (observed in a vanilla 1g session) and is
+    never the 100 TB plan."""
+    import numpy as np
+    import pandas as pd
+
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    rng = np.random.default_rng(23)
+    n = 200
+    w = rng.uniform(-120, -70, n)
+    s = rng.uniform(45, 70, n)
+    df = spark.createDataFrame(pd.DataFrame({
+        "poly_id": [f"b{i}" for i in range(n)],
+        "west": w, "south": s, "east": w + 0.5, "north": s + 0.4,
+    }))
+    p = _plan(bbox_overlap_join(df, df, driver_plan_max=50))
+    assert "SortMergeJoin" in p, p.splitlines()[:25]
+    assert "BroadcastHashJoin" not in p
