@@ -1016,8 +1016,20 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     any regression in bucketing/probing changes an overlap count and
     hash-fails the gate — recall is no longer guarded only by pytest floors.
     Queries with ZERO overlap still emit a row (left join + coalesce), so a
-    total recall collapse cannot hide as a missing row."""
-    brute = _q_ann_topk(spark, sf_dir).select("query_id", "vec_id")
+    total recall collapse cannot hide as a missing row.
+
+    The brute top-k is executed ONCE and materialized driver-side (Q*k =
+    30 rows — the query set is dim by construction), then rejoined as a
+    broadcast local table: embedding the brute subtree in each method's
+    join would re-run the full-corpus exact scan three times per gate
+    evaluation."""
+    brute_rows = _q_ann_topk(spark, sf_dir).select("query_id", "vec_id").collect()
+    brute = F.broadcast(
+        spark.createDataFrame(
+            [(r.query_id, r.vec_id) for r in brute_rows], "query_id bigint, vec_id bigint"
+        )
+    )
+    spine = sorted({r.query_id for r in brute_rows})
     methods = {"lsh": _q_ann_lsh, "ivf": _q_ann_ivf}
     outs = []
     for m, fn in methods.items():
@@ -1028,7 +1040,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("_n"))
         )
         outs.append(
-            brute.select("query_id").distinct()
+            spark.createDataFrame([(q,) for q in spine], "query_id bigint")
             .join(counts, "query_id", "left")
             .select(
                 F.lit(m).alias("method"),

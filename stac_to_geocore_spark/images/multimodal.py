@@ -106,11 +106,6 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
     )
 
 
-def _decode_audio_stub(data: bytes, fmt: str) -> np.ndarray:
-    """Back-compat shim for the pre-round-4 stub name (tests)."""
-    return decode_audio(data, fmt)[0]
-
-
 AUDIO_FEATURES_SCHEMA = (
     "audio_id string, sample_rate int, n_samples long, duration_ms long, "
     "rms double, peak double, zero_crossings long"

@@ -41,15 +41,21 @@ DEG = 180.0 / math.pi
 _DISTORT = 1.7
 
 
+def cell_area_rad2(res: int) -> float:
+    """Area (rad^2) of one hex cell at `res` — the ONE place the lattice
+    area model lives; adaptive_res and overlap.py's vectorized res pickers
+    all derive from it so they can never drift apart."""
+    s = h3x.res_spacing(res)
+    return (math.sqrt(3.0) / 2.0) * s * s
+
+
 def adaptive_res(west: float, south: float, east: float, north: float,
                  res_min: int = 5, res_max: int = 9, max_cells: int = 2048) -> int:
     """Finest res whose estimated cover of the bbox is <= max_cells."""
     area_rad2 = max(1e-12, math.radians(east - west) * math.radians(north - south)
                     * math.cos(math.radians((south + north) / 2.0)))
     for res in range(res_max, res_min - 1, -1):
-        s = h3x.res_spacing(res)
-        cell_area = (math.sqrt(3.0) / 2.0) * s * s
-        if area_rad2 / cell_area <= max_cells:
+        if area_rad2 / cell_area_rad2(res) <= max_cells:
             return res
     return res_min
 

@@ -34,6 +34,7 @@ from stac_to_geocore_spark.spatial.cover import (
     COVER_SCHEMA,
     DRIVER_DIM_MAX,
     adaptive_res,
+    cell_area_rad2,
     covers_df,
     covers_pdf,
 )
@@ -64,18 +65,13 @@ def _res_stats_distributed(
     """(coarsest adaptive res, mean bbox area rad^2) over a big region
     table in ONE narrow agg/scan: the per-row res is computed in an Arrow
     batch, the area in JVM column math; only two scalars cross the wire."""
-    import math
-
     from pyspark.sql.functions import pandas_udf
-
-    from stac_to_geocore_spark.cells import h3x
 
     # adaptive_res, vectorized: res r fits iff bbox_area <= max_cells *
     # cell_area(r); the threshold grows monotonically as r coarsens, so the
     # satisfied set is a suffix [res_min..r*] and r* = res_min - 1 + count.
     thresh = np.array([
-        max_cells * (math.sqrt(3.0) / 2.0) * h3x.res_spacing(r) ** 2
-        for r in range(res_min, res_max + 1)
+        max_cells * cell_area_rad2(r) for r in range(res_min, res_max + 1)
     ])
 
     @pandas_udf(IntegerType())
@@ -123,14 +119,8 @@ def _res_for_mean_area(mean_area_rad2: float, res_min: int, res_max: int,
     mean-sized res — a 100x shuffle-volume difference for the same exact
     result, since the refine predicate removes the extra coarse-res
     candidates either way)."""
-    import math
-
-    from stac_to_geocore_spark.cells import h3x
-
     for res in range(res_max, res_min - 1, -1):
-        s = h3x.res_spacing(res)
-        cell_area = (math.sqrt(3.0) / 2.0) * s * s
-        if mean_area_rad2 / cell_area <= target_cells:
+        if mean_area_rad2 / cell_area_rad2(res) <= target_cells:
             return res
     return res_min
 

@@ -107,6 +107,12 @@ class SnapshotTable:
                 return version
             except FileExistsError:
                 os.unlink(tmp)  # lost the race — re-read latest and retry
+            except FileNotFoundError:
+                # our tmp vanished mid-commit: vacuum's pid-liveness probe is
+                # HOST-local, so on shared storage a vacuum on another host
+                # can sweep a live writer's tmp. Non-fatal — rewrite the tmp
+                # and retry (nothing was published).
+                continue
         raise RuntimeError(f"commit conflict persisted after 100 retries at {self.path}")
 
     # ----- writes (each produces a new immutable snapshot) -----
@@ -161,7 +167,13 @@ class SnapshotTable:
         post-retention cleanup) and stale commit tmp files (a writer that
         died between open() and unlink() in _commit leaves v<N>.json.tmp.<pid>
         behind forever — nothing else reclaims meta_dir). Returns removed
-        paths."""
+        paths.
+
+        The pid-liveness probe is HOST-local: on shared storage a vacuum
+        running on another host can sweep a live remote writer's in-flight
+        tmp. That race is benign — _commit treats a vanished tmp as a
+        retryable event and rewrites it — but multi-host deployments should
+        still prefer vacuuming from the writer host."""
         import shutil
 
         live: set[str] = set()

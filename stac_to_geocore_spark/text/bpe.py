@@ -17,7 +17,7 @@ documents corpus by scripts/train_bpe.py and committed (same frozen-artifact
 pattern as known_answers.py); runtime never retrains.
 
 Scale shape: the UDF is an Arrow-batched pandas UDF; within a worker the
-per-WORD merge loop is memoized in a module-level cache (natural-language
+per-WORD merge loop is memoized in a per-vocab cache (natural-language
 word frequency is Zipfian, so the cache hit rate approaches 1 and the
 Python loop runs ~once per distinct word, not per occurrence) — the same
 trick production tokenizers use. Counting is embarrassingly parallel:
@@ -26,6 +26,7 @@ map-only, no shuffle, no driver involvement.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import pandas as pd
@@ -92,27 +93,42 @@ def train_bpe(texts: list[bytes], n_merges: int) -> list[tuple[str, str]]:
     return merges
 
 
-_WORD_CACHE: dict[tuple[str, ...], int] = {}
 _WORD_CACHE_MAX = 200_000
 
 
-def _count_text(data: bytes, ranks: dict[tuple[str, str], int]) -> int:
+def _count_text(
+    data: bytes,
+    ranks: dict[tuple[str, str], int],
+    cache: dict[tuple[str, ...], int] | None = None,
+) -> int:
+    """Token count of one text. `cache` memoizes per-WORD merge results and
+    MUST be scoped to one ranks table — a shared cache across two vocabs
+    would silently return counts computed under the wrong merge table
+    (callers that pass no cache get correct, uncached behavior)."""
     n = 0
     for w in pretokenize(data):
         key = tuple(w.decode("latin-1"))
-        c = _WORD_CACHE.get(key)
+        c = cache.get(key) if cache is not None else None
         if c is None:
             c = len(merge_word(key, ranks))
-            if len(_WORD_CACHE) < _WORD_CACHE_MAX:
-                _WORD_CACHE[key] = c
+            if cache is not None and len(cache) < _WORD_CACHE_MAX:
+                cache[key] = c
         n += c
     return n
 
 
-def _ranks() -> dict[tuple[str, str], int]:
+@functools.lru_cache(maxsize=1)
+def _frozen_vocab() -> tuple[dict[tuple[str, str], int], dict[tuple[str, ...], int]]:
+    """(ranks, word-count cache) for the COMMITTED vocab — the cache is
+    created together with the ranks table it belongs to, so counts under a
+    different (retrained/experimental) table can never alias into it."""
     from stac_to_geocore_spark.text.bpe_vocab import MERGES
 
-    return {p: i for i, p in enumerate(MERGES)}
+    return {p: i for i, p in enumerate(MERGES)}, {}
+
+
+def _ranks() -> dict[tuple[str, str], int]:
+    return _frozen_vocab()[0]
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -124,11 +140,11 @@ def bpe_token_count(text: Column) -> Column:
 
     @pandas_udf(LongType())
     def _cnt(s: pd.Series) -> pd.Series:
-        ranks = _ranks()
+        ranks, cache = _frozen_vocab()
         # nulls arrive as None or NaN depending on the Arrow path — isinstance
         # guard instead of truthiness (NaN is truthy)
         return s.map(
-            lambda t: _count_text(t.encode("utf-8"), ranks) if isinstance(t, str) else 0
+            lambda t: _count_text(t.encode("utf-8"), ranks, cache) if isinstance(t, str) else 0
         ).astype("int64")
 
     return _cnt(text)

@@ -107,3 +107,20 @@ def test_bpe_token_counts_dataframe(spark):
     ranks = _ranks()
     assert out[0] == _count_text(b"key agg row", ranks)
     assert out[1] == 0 and out[2] == 0
+
+
+def test_word_cache_is_scoped_per_vocab():
+    """Two merge tables in one process must not alias counts through a
+    shared word cache (the round-4 review finding): the same word counted
+    under different vocabs yields different, correct results."""
+    ranks_a = {("t", "a"): 0}
+    ranks_b = {("t", "a"): 0, ("ta", "b"): 1, ("tab", "l"): 2, ("tabl", "e"): 3}
+    cache_a: dict = {}
+    cache_b: dict = {}
+    a1 = _count_text(b"table", ranks_a, cache_a)
+    b1 = _count_text(b"table", ranks_b, cache_b)
+    assert a1 == 4  # ta|b|l|e
+    assert b1 == 1  # fully merged
+    # repeat from the caches — still vocab-correct
+    assert _count_text(b"table", ranks_a, cache_a) == 4
+    assert _count_text(b"table", ranks_b, cache_b) == 1

@@ -10,9 +10,9 @@ import pytest
 from stac_to_geocore_spark.fixtures import images_df
 from stac_to_geocore_spark.images.codecs import decode_image
 from stac_to_geocore_spark.images.multimodal import (
-    _decode_audio_stub,
     audio_features,
     block_mean_resize,
+    decode_audio,
     sample_frames,
     thumbnails,
 )
@@ -60,11 +60,11 @@ def test_video_frame_sampling(spark):
     assert (out.h == 24).all() and (out.w == 32).all()
 
 
-def test_audio_stub_is_deterministic():
+def test_audio_fakepcm_is_deterministic():
     data = np.arange(50, dtype=np.int16).tobytes()
-    a = _decode_audio_stub(data, "fakepcm")
-    b = _decode_audio_stub(data, "fakepcm")
-    assert (a == b).all()
+    a, rate_a = decode_audio(data, "fakepcm")
+    b, rate_b = decode_audio(data, "fakepcm")
+    assert (a == b).all() and rate_a == rate_b == 16000
 
 
 # --- real WAV decode (stdlib wave; round-4 upgrade) ---
