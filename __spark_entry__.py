@@ -264,7 +264,13 @@ def _orders_bbox_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lattice whose points are never closer than ~0.4 deg — zero overlap
     # pairs, a vacuous join. Squaring the permuted value breaks the lattice
     # and the pair count behaves like a uniform scatter (~10^3 at sf0.01).
-    m1 = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1000000)
+    # o_orderkey is reduced mod 1e6 BEFORE the Knuth multiply: the raw
+    # product overflows int64 once orderkeys exceed ~3.5e9 (TPC-H sf >~580),
+    # where Spark (non-ANSI) wraps silently but DuckDB raises — the fixture
+    # and oracle would diverge exactly on the 100x-scale path this query
+    # exercises. The reduction is a no-op at any sf where keys < 1e6, and
+    # identical on both sides above it.
+    m1 = ((F.col("o_orderkey") % F.lit(1000000)) * F.lit(2654435761)) % F.lit(1000000)
     m2 = (F.col("o_orderkey") * F.lit(40503) + F.lit(971)) % F.lit(1000000)
     lon = F.lit(-140.0) + ((m1 * m1 + F.lit(7) * m1) % F.lit(1000000)) / F.lit(1000000.0) * F.lit(86.0)
     lat = F.lit(42.0) + ((m2 * m2 + F.lit(13) * m2) % F.lit(1000000)) / F.lit(1000000.0) * F.lit(40.0)
@@ -1804,7 +1810,7 @@ def _oracles_all() -> dict[str, str]:
         "bbox_overlap_distributed": """
             WITH m AS (
               SELECT o_orderkey,
-                     (o_orderkey * 2654435761) % 1000000 AS m1,
+                     ((o_orderkey % 1000000) * 2654435761) % 1000000 AS m1,
                      (o_orderkey * 40503 + 971) % 1000000 AS m2
               FROM orders),
             p AS (

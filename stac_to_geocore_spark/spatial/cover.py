@@ -205,8 +205,10 @@ def covers_df(polys: DataFrame, res_min: int = 5, res_max: int = 9,
     """
     if min_partitions is None:
         min_partitions = polys.sparkSession.sparkContext.defaultParallelism
-    if polys.rdd.getNumPartitions() < min_partitions:
-        polys = polys.repartition(min_partitions)
+    # Unconditional: probing the current partition count via .rdd would force
+    # plan analysis on an otherwise-lazy path, and the repartition's shuffled
+    # rows are 5 scalars each — noise next to the python work it parallelizes.
+    polys = polys.repartition(min_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

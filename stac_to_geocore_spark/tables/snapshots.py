@@ -25,6 +25,7 @@ snapshot pointer swap removes.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -101,18 +102,29 @@ class SnapshotTable:
                 f.flush()
                 os.fsync(f.fileno())
             final = os.path.join(self.meta_dir, f"v{version}.json")
+            # The try block covers os.link ONLY: a FileNotFoundError from the
+            # cleanup unlink (a cross-host vacuum sweeping tmp AFTER the link
+            # published, hitting the link->unlink window) must NOT be treated
+            # as "nothing was published" — retrying a PUBLISHED append would
+            # re-add its data dir as the next version and double-count rows.
             try:
                 os.link(tmp, final)  # atomic + exclusive: fails if v<N> exists
-                os.unlink(tmp)
-                return version
             except FileExistsError:
-                os.unlink(tmp)  # lost the race — re-read latest and retry
-            except FileNotFoundError:
-                # our tmp vanished mid-commit: vacuum's pid-liveness probe is
-                # HOST-local, so on shared storage a vacuum on another host
-                # can sweep a live writer's tmp. Non-fatal — rewrite the tmp
-                # and retry (nothing was published).
+                # lost the race — re-read latest and retry. The unlink is
+                # suppressed: the same vacuum race can sweep tmp first, and a
+                # loser's cleanup must never crash the retry loop.
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(tmp)
                 continue
+            except FileNotFoundError:
+                # our tmp vanished BEFORE the link: vacuum's pid-liveness
+                # probe is HOST-local, so on shared storage a vacuum on
+                # another host can sweep a live writer's tmp. Non-fatal —
+                # rewrite the tmp and retry (nothing was published).
+                continue
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
+            return version
         raise RuntimeError(f"commit conflict persisted after 100 retries at {self.path}")
 
     # ----- writes (each produces a new immutable snapshot) -----

@@ -101,6 +101,11 @@ def minhash_lsh_pairs(
     consumers (band keys + both sides of the estimate join). OFF by
     default: at 10^11 docs that cache is ~50 TB; recomputing the map-only
     signature UDF is the scale-correct trade (see inline comment).
+    CALLER OWNS THE UNPERSIST: the cache must outlive this (lazy) plan, so
+    nothing here can unpersist it — a long-lived session that opts in must
+    call `result._cached_signatures.unpersist()` (the handle is attached to
+    the returned DataFrame) once the result is materialized, or the cached
+    blocks accumulate until the session dies.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -153,6 +158,9 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    if persist_signatures:
+        # hand the cache to the caller (see docstring: caller owns unpersist)
+        out._cached_signatures = sigs
     return out
 
 

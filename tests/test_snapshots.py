@@ -62,6 +62,54 @@ def test_tmp_metadata_never_visible(spark, tmp_path):
     assert t.read(spark).count() == 10
 
 
+def _sweeping_unlink(monkeypatch):
+    """Patch os.unlink so commit-tmp cleanup hits the cross-host vacuum race:
+    the file is gone by the time our unlink runs (another host swept it), so
+    the cleanup raises FileNotFoundError — exactly the link->unlink window."""
+    real_unlink = os.unlink
+    swept = []
+
+    def sweep(p, *a, **kw):
+        if ".json.tmp." in str(p):
+            swept.append(str(p))
+            if os.path.exists(p):
+                real_unlink(p)
+            raise FileNotFoundError(p)
+        return real_unlink(p, *a, **kw)
+
+    monkeypatch.setattr(os, "unlink", sweep)
+    return swept
+
+
+def test_post_link_swept_tmp_does_not_double_publish(spark, tmp_path, monkeypatch):
+    """A vacuum on another host sweeping the tmp AFTER os.link published the
+    commit must not be read as 'nothing was published': retrying would
+    re-append the same data dir as the next version and double-count rows."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 10))
+    swept = _sweeping_unlink(monkeypatch)
+    v = t.append(_df(spark, 10, 15))
+    assert v == 2 and swept  # the race fired and the commit returned once
+    assert t.latest_version() == 2
+    assert t.read(spark).count() == 15  # rows counted once, never re-added
+
+
+def test_lost_race_cleanup_survives_swept_tmp(spark, tmp_path, monkeypatch):
+    """The FileExistsError (lost-CAS) branch also unlinks the tmp; the same
+    sweep race there must retry cleanly instead of crashing the commit."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 10))
+    # a concurrent winner already published v2: our append must lose the CAS
+    # on v2, survive the swept-tmp cleanup, and publish v3
+    with open(os.path.join(t.meta_dir, "v2.json"), "w") as f:
+        json.dump({"version": 2, "op": "append",
+                   "dirs": t._snapshot(1)["dirs"], "ts": 0}, f)
+    _sweeping_unlink(monkeypatch)
+    v = t.append(_df(spark, 10, 15))
+    assert v == 3
+    assert t.read(spark).count() == 15
+
+
 def test_crashed_commit_does_not_block_next_append(spark, tmp_path):
     """A crash between data write and metadata publish must not wedge the
     table: the next commit picks a fresh data dir, the orphan stays
