@@ -11,10 +11,27 @@ for the chosen sf, generated distributed (counter-based, no driver
 materialization) with bytes_mode='none' so we measure the engine, not the
 fixture generator. Full execution is forced with the noop sink (whole plan
 runs, nothing collected).
+
+Weather robustness (round-4 VERDICT #1): the sandbox host's throughput
+swings ~2x minute-to-minute, and a single-shot measurement once recorded a
+38% flagship "regression" with zero code change in that path. So:
+  * every query runs SPARK_GRAFT_BENCH_REPS times (default 3) with the
+    repetitions INTERLEAVED across the whole suite (rep loop outside the
+    query loop) — a bad host minute hits one rep of many queries instead of
+    all reps of one query — and the committed number is the per-query MIN
+    (the best observed = the least weather-contaminated run);
+  * a same-hour no-Spark numpy host control (scripts/host_ceiling_control.py
+    kernel, the same float64 trig/sqrt arithmetic class as the cell-encode
+    kernel) runs before and after the suite and is recorded INTO the JSON,
+    so a cross-round delta can be attributed to host phase quantitatively
+    (compare host_control units/s across the two artifacts);
+  * per-rep raw seconds ship in "rep_seconds" so the spread itself is in
+    the committed artifact.
 """
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 import sys
@@ -26,10 +43,30 @@ def _force(df) -> int:
     return 0
 
 
+def _host_control(procs: int = 8, n_iter: int = 10) -> float:
+    """Units/sec of the pure-numpy multiprocessing control (no Spark/JVM):
+    measures the host itself in the same minute as the bench."""
+    spec = importlib.util.spec_from_file_location(
+        "host_ceiling_control",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "host_ceiling_control.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    # register BEFORE exec: mp.Pool pickles the kernel fn by module name,
+    # and fork/spawn workers resolve it through sys.modules
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return round(mod.run(procs, n_iter), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    ctrl_procs = 8
+    ctrl_pre = _host_control(ctrl_procs)
 
     from stac_to_geocore_spark.session import get_spark
 
@@ -48,14 +85,15 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from bench_scaling import ensure_images_table
+    from pyspark.sql import functions as Fn
+
+    from stac_to_geocore_spark.cells.tiles import tile_x_expr, tile_y_expr
     from stac_to_geocore_spark.fixtures import polygons_df
-    from stac_to_geocore_spark.pipeline import flagship
+    from stac_to_geocore_spark.pipeline import encode_stage, flagship
 
-    timings: dict[str, float] = {}
-
-    # --- flagship: H3 encode + PIP join + tile assign (images/sec metric)
-    # over a pre-materialized parquet images table (the metric is the
-    # pipeline, not fixture generation) ---
+    # --- flagship input: H3 encode + PIP join + tile assign (images/sec
+    # metric) over a pre-materialized parquet images table (the metric is
+    # the pipeline, not fixture generation) ---
     try:
         n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "0")) or {
             "0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000,
@@ -64,26 +102,7 @@ def main() -> None:
         n_images = 2_000_000
     images = spark.read.parquet(ensure_images_table(spark, n_images))
     polys = polygons_df(spark, 64)
-    _force(flagship(images.limit(20_000), polys))  # warmup
-    t0 = time.monotonic()
-    _force(flagship(images, polys))
-    flagship_sec = time.monotonic() - t0
-    timings["flagship_pipeline"] = round(flagship_sec, 3)
-    images_per_sec = round(n_images / flagship_sec, 1)
-
-    # per-stage decomposition of the same input (BASELINE.md stage table)
-    from pyspark.sql import functions as Fn
-
-    from stac_to_geocore_spark.cells.tiles import tile_x_expr, tile_y_expr
-    from stac_to_geocore_spark.pipeline import encode_stage
-
-    t0 = time.monotonic()
-    _force(encode_stage(images))
-    timings["stage_encode_h3_s2_tile"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    _force(images.select("image_id", tile_x_expr(Fn.col("lon"), 12).alias("x"),
-                         tile_y_expr(Fn.col("lat"), 12).alias("y")))
-    timings["stage_tile_only"] = round(time.monotonic() - t0, 3)
+    _force(flagship(images.limit(20_000), polys))  # warmup (codegen + pools)
 
     # --- headline relational / text / spatial queries on the sf tables ---
     bench_queries = [
@@ -97,16 +116,39 @@ def main() -> None:
         "dedup_exact", "doc_stats", "stopword_score", "ann_topk",
     ]
     qmap = entrymod.all_queries()  # bench suite spans gate + demoted entries
-    for name in bench_queries:
-        if name not in qmap:
-            continue
-        t0 = time.monotonic()
-        try:
-            _force(qmap[name](spark, sf_dir))
-            timings[name] = round(time.monotonic() - t0, 3)
-        except Exception as exc:  # keep the bench line intact
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    tasks: list[tuple[str, object]] = [
+        ("flagship_pipeline", lambda: _force(flagship(images, polys))),
+        ("stage_encode_h3_s2_tile", lambda: _force(encode_stage(images))),
+        ("stage_tile_only", lambda: _force(images.select(
+            "image_id", tile_x_expr(Fn.col("lon"), 12).alias("x"),
+            tile_y_expr(Fn.col("lat"), 12).alias("y")))),
+    ] + [
+        (name, (lambda q=qmap[name]: _force(q(spark, sf_dir))))
+        for name in bench_queries if name in qmap
+    ]
+
+    rep_seconds: dict[str, list[float]] = {name: [] for name, _ in tasks}
+    for _rep in range(reps):
+        for name, fn in tasks:
+            t0 = time.monotonic()
+            try:
+                fn()
+                rep_seconds[name].append(round(time.monotonic() - t0, 3))
+            except Exception as exc:  # keep the bench line intact
+                rep_seconds[name].append(-1.0)
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, secs in rep_seconds.items():
+        ok = [s for s in secs if s > 0]
+        timings[name] = min(ok) if ok else -1.0
+    images_per_sec = (
+        round(n_images / timings["flagship_pipeline"], 1)
+        if timings["flagship_pipeline"] > 0 else -1.0
+    )
+
+    ctrl_post = _host_control(ctrl_procs)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(json.dumps({
@@ -118,6 +160,16 @@ def main() -> None:
         "images_per_sec": images_per_sec,
         "n_images": n_images,
         "cpus": int(cpus),
+        "reps": reps,
+        "rep_seconds": rep_seconds,
+        "host_control": {
+            "procs": ctrl_procs,
+            "pre_units_per_s": ctrl_pre,
+            "post_units_per_s": ctrl_post,
+            "note": "pure-numpy multiprocessing control (no Spark); compare "
+                    "across round artifacts to attribute suite deltas to "
+                    "host phase vs plan changes",
+        },
     }))
     spark.stop()
 
