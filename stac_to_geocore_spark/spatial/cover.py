@@ -135,6 +135,148 @@ def cover_bbox_np(west: float, south: float, east: float, north: float, res: int
     return uniq, full_u
 
 
+def _ragged_grid(lo_x: np.ndarray, nx: np.ndarray, lo_y: np.ndarray, ny: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten per-box (nx_i x ny_i) index grids: returns (box, ix, iy) with
+    row-major x-inner ordering (matching meshgrid('xy').ravel())."""
+    cnt = nx * ny
+    total = int(cnt.sum())
+    box = np.repeat(np.arange(len(nx), dtype=np.int64), cnt)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    rel = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+    return box, lo_x[box] + rel % nx[box], lo_y[box] + rel // nx[box]
+
+
+def cover_bbox_batch_np(west: np.ndarray, south: np.ndarray, east: np.ndarray,
+                        north: np.ndarray, res: int, max_samples: int = 1024,
+                        chunk: int = 512
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized cover for a BATCH of bboxes at one fixed res.
+
+    Returns (box_idx:int64[], cells:int64[], fully_inside:bool[], handled:bool[N])
+    where `handled` marks boxes the batch path computed; the caller runs
+    cover_bbox_np per-polygon for the rest. The batch path takes boxes whose
+    sample grid is at most max_samples points (bounds batch memory) and
+    whose samples ALL land on ONE icosahedron face — for those its output is
+    bit-identical to cover_bbox_np: same linspace sample grid (including
+    numpy's exact-endpoint override), same pad, same candidate ranges, same
+    keep/fully_inside predicates, same sorted-unique per-box layout
+    (regression-tested against the per-polygon kernel in tests/test_spatial.py).
+
+    Why it exists: cover_bbox_np costs ~0.3 ms/polygon in small-array numpy
+    overhead — for a region-region join shuffling 10^5-10^6 box covers the
+    per-polygon dispatch dominates the math ~10x (measured 8x end-to-end on
+    the orders-derived fixture). Work proceeds in `chunk`-box slices: the
+    candidate arrays of ~512 tiny boxes stay cache-resident, where one
+    monolithic 15k-box pass thrashes (measured SLOWER than per-poly).
+    """
+    west = np.asarray(west, np.float64)
+    south = np.asarray(south, np.float64)
+    east = np.asarray(east, np.float64)
+    north = np.asarray(north, np.float64)
+    n = len(west)
+    empty_i = np.empty(0, np.int64)
+    empty_b = np.empty(0, bool)
+    if n == 0:
+        return empty_i, empty_i, empty_b, np.zeros(0, bool)
+    if n > chunk:
+        bis, cs, fs, hs = [], [], [], []
+        for lo in range(0, n, chunk):
+            bi, c, f, h = cover_bbox_batch_np(
+                west[lo:lo + chunk], south[lo:lo + chunk],
+                east[lo:lo + chunk], north[lo:lo + chunk], res, max_samples)
+            bis.append(bi + lo)
+            cs.append(c)
+            fs.append(f)
+            hs.append(h)
+        return (np.concatenate(bis), np.concatenate(cs),
+                np.concatenate(fs), np.concatenate(hs))
+
+    spacing = h3x.res_spacing(res)
+    inr_deg = (spacing / 2.0) * DEG / _DISTORT
+    circ_deg = (spacing / math.sqrt(3.0)) * DEG * _DISTORT
+
+    coslat = np.maximum(0.05, np.cos(np.radians(np.maximum(np.abs(south), np.abs(north)))))
+    nx = np.clip(np.ceil((east - west) * coslat / inr_deg).astype(np.int64) + 2, 2, 512)
+    ny = np.clip(np.ceil((north - south) / inr_deg).astype(np.int64) + 2, 2, 512)
+    small = nx * ny <= max_samples
+    sidx = np.nonzero(small)[0]
+    if len(sidx) == 0:
+        return empty_i, empty_i, empty_b, np.zeros(n, bool)
+    w0, s0, e0, n0 = west[sidx], south[sidx], east[sidx], north[sidx]
+    nx0, ny0, cl0 = nx[sidx], ny[sidx], coslat[sidx]
+
+    # ragged sample grids, replicating np.linspace bit-exactly: value =
+    # j * ((stop-start)/(num-1)) + start, with the LAST point set to stop
+    sbox, jx, jy = _ragged_grid(np.zeros(len(sidx), np.int64), nx0,
+                                np.zeros(len(sidx), np.int64), ny0)
+    glon = jx * ((e0 - w0) / (nx0 - 1))[sbox] + w0[sbox]
+    glon[jx == nx0[sbox] - 1] = e0[sbox][jx == nx0[sbox] - 1]
+    glat = jy * ((n0 - s0) / (ny0 - 1))[sbox] + s0[sbox]
+    glat[jy == ny0[sbox] - 1] = n0[sbox][jy == ny0[sbox] - 1]
+
+    xyz = h3x._latlon_to_xyz(glat, glon)
+    faces, zp = h3x._xyz_to_face_plane(xyz)
+    zl = zp * h3x._RES_XFORM[res]
+    bf = zl.imag / h3x._TAU.imag
+    af = zl.real - 0.5 * bf
+
+    # one face per box (reduceat over the ragged sample groups)
+    scnt = nx0 * ny0
+    sstart = np.concatenate([[0], np.cumsum(scnt)[:-1]])
+    one_face = (np.minimum.reduceat(faces, sstart)
+                == np.maximum.reduceat(faces, sstart))
+    handled = np.zeros(n, bool)
+    handled[sidx[one_face]] = True
+    keep_boxes = np.nonzero(one_face)[0]
+    if len(keep_boxes) == 0:
+        return empty_i, empty_i, empty_b, handled
+
+    af_lo = np.minimum.reduceat(af, sstart)[keep_boxes]
+    af_hi = np.maximum.reduceat(af, sstart)[keep_boxes]
+    bf_lo = np.minimum.reduceat(bf, sstart)[keep_boxes]
+    bf_hi = np.maximum.reduceat(bf, sstart)[keep_boxes]
+    face_of = faces[sstart][keep_boxes]
+    w1, s1, e1, n1 = w0[keep_boxes], s0[keep_boxes], e0[keep_boxes], n0[keep_boxes]
+    nx1, ny1, cl1 = nx0[keep_boxes], ny0[keep_boxes], cl0[keep_boxes]
+    orig = sidx[keep_boxes]
+
+    # pad in lattice units: sampling gap + rounding + face-clip slack
+    gap_rad = np.radians(np.maximum((e1 - w1) / (nx1 - 1) * cl1,
+                                    (n1 - s1) / (ny1 - 1)))
+    pad = np.ceil(gap_rad * _DISTORT / spacing).astype(np.int64) + 3
+    a_lo = np.floor(af_lo).astype(np.int64) - pad
+    a_hi = np.ceil(af_hi).astype(np.int64) + pad
+    b_lo = np.floor(bf_lo).astype(np.int64) - pad
+    b_hi = np.ceil(bf_hi).astype(np.int64) + pad
+
+    # ragged per-box candidate grids -> centers -> keep/full predicates
+    box, aa, bb = _ragged_grid(a_lo, a_hi - a_lo + 1, b_lo, b_hi - b_lo + 1)
+    zlc = aa.astype(np.float64) + bb.astype(np.float64) * h3x._TAU
+    zpc = zlc / h3x._RES_XFORM[res]
+    cxyz = h3x._plane_to_xyz(face_of[box], zpc)
+    clat, clon = h3x._xyz_to_latlon(cxyz)
+
+    cl_, w_, s_ = cl1[box], w1[box], s1[box]
+    e_, n_ = e1[box], n1[box]
+    keep = (
+        (clon >= w_ - circ_deg / cl_) & (clon <= e_ + circ_deg / cl_)
+        & (clat >= s_ - circ_deg) & (clat <= n_ + circ_deg)
+    )
+    box, aa, bb = box[keep], aa[keep], bb[keep]
+    clat, clon, cl_ = clat[keep], clon[keep], cl_[keep]
+    w_, s_, e_, n_ = w_[keep], s_[keep], e_[keep], n_[keep]
+    cells = h3x._pack(face_of[box], aa, bb, res)
+    full = (
+        (clon - circ_deg / cl_ >= w_) & (clon + circ_deg / cl_ <= e_)
+        & (clat - circ_deg >= s_) & (clat + circ_deg <= n_)
+    )
+    # single face per box -> (a, b) pairs are already unique within a box;
+    # sort by (box, cell) to match cover_bbox_np's sorted-unique layout
+    order = np.lexsort((cells, box))
+    return orig[box[order]], cells[order], full[order], handled
+
+
 def cover_bbox_compact_np(west: float, south: float, east: float, north: float,
                           res: int) -> tuple[np.ndarray, np.ndarray]:
     """Multi-res compact cover: interior (fully-inside) cells collapse to
@@ -210,34 +352,58 @@ def covers_df(polys: DataFrame, res_min: int = 5, res_max: int = 9,
     # rows are 5 scalars each — noise next to the python work it parallelizes.
     polys = polys.repartition(min_partitions)
 
+    empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in COVER_SCHEMA.fields})
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, ress, cells_l, full_l = [], [], [], []
-            for row in b.itertuples(index=False):
-                res = fixed_res if fixed_res is not None else adaptive_res(
-                    row.west, row.south, row.east, row.north, res_min, res_max, max_cells)
-                cells, full = cover_bbox_np(row.west, row.south, row.east, row.north, res)
-                ids.append(row.poly_id)
-                ress.append(res)
-                cells_l.append(cells)
-                full_l.append(full)
-            if not ids:
-                yield pd.DataFrame(
-                    {f.name: pd.Series(dtype="object") for f in COVER_SCHEMA.fields})
+            if len(b) == 0:
+                yield empty
                 continue
-            # ONE frame per Arrow batch (a per-polygon DataFrame + concat
-            # costs ~0.14 ms/polygon — as much as the cover kernel itself)
-            counts = np.array([len(c) for c in cells_l])
-            yield pd.DataFrame({
-                "poly_id": np.repeat(np.asarray(ids, dtype=object), counts),
-                "res": np.repeat(np.asarray(ress, dtype=np.int32), counts),
-                "cell": np.concatenate(cells_l),
-                "fully_inside": np.concatenate(full_l),
-                "west": np.repeat(b["west"].to_numpy(np.float64), counts),
-                "south": np.repeat(b["south"].to_numpy(np.float64), counts),
-                "east": np.repeat(b["east"].to_numpy(np.float64), counts),
-                "north": np.repeat(b["north"].to_numpy(np.float64), counts),
-            })
+            wv = b["west"].to_numpy(np.float64)
+            sv = b["south"].to_numpy(np.float64)
+            ev = b["east"].to_numpy(np.float64)
+            nv = b["north"].to_numpy(np.float64)
+            pid = b["poly_id"].to_numpy(object)
+            parts = []
+            if fixed_res is not None:
+                # batched kernel for small single-face boxes (bit-identical
+                # to the per-polygon kernel; ~10x less numpy dispatch)
+                bi, cells, full, handled = cover_bbox_batch_np(wv, sv, ev, nv, fixed_res)
+                if len(cells):
+                    parts.append(pd.DataFrame({
+                        "poly_id": pid[bi],
+                        "res": np.full(len(cells), fixed_res, np.int32),
+                        "cell": cells, "fully_inside": full,
+                        "west": wv[bi], "south": sv[bi],
+                        "east": ev[bi], "north": nv[bi],
+                    }))
+                todo = np.nonzero(~handled)[0]
+            else:
+                todo = np.arange(len(b))
+            if len(todo):
+                ids, ress, cells_l, full_l = [], [], [], []
+                for i in todo:
+                    res = fixed_res if fixed_res is not None else adaptive_res(
+                        wv[i], sv[i], ev[i], nv[i], res_min, res_max, max_cells)
+                    cells, full = cover_bbox_np(wv[i], sv[i], ev[i], nv[i], res)
+                    ids.append(pid[i])
+                    ress.append(res)
+                    cells_l.append(cells)
+                    full_l.append(full)
+                # ONE frame per Arrow batch (a per-polygon DataFrame + concat
+                # costs ~0.14 ms/polygon — as much as the cover kernel itself)
+                counts = np.array([len(c) for c in cells_l])
+                parts.append(pd.DataFrame({
+                    "poly_id": np.repeat(np.asarray(ids, dtype=object), counts),
+                    "res": np.repeat(np.asarray(ress, dtype=np.int32), counts),
+                    "cell": np.concatenate(cells_l),
+                    "fully_inside": np.concatenate(full_l),
+                    "west": np.repeat(wv[todo], counts),
+                    "south": np.repeat(sv[todo], counts),
+                    "east": np.repeat(ev[todo], counts),
+                    "north": np.repeat(nv[todo], counts),
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else empty
 
     return polys.mapInPandas(gen, COVER_SCHEMA)
 

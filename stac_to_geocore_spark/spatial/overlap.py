@@ -134,6 +134,9 @@ def bbox_overlap_join(
     fixed_res: int | None = None,
     driver_plan_max: int = DRIVER_DIM_MAX,
     target_cells_per_box: float = 4.0,
+    salt_hot_cells: bool = True,
+    salt_sample_fraction: float = 0.05,
+    salt_hot_multiplier: float = 8.0,
 ) -> DataFrame:
     """All (id_a, id_b) pairs whose bboxes intersect (closed-edge semantics).
 
@@ -141,10 +144,25 @@ def bbox_overlap_join(
     driver_plan_max rows plan covers driver-side and broadcast; bigger
     sides plan covers distributed (covers_df) and equi-join on the cell —
     the cell is the natural bucketing column, so two pre-bucketed region
-    tables co-locate and the join is shuffle-free."""
+    tables co-locate and the join is shuffle-free.
+
+    Both-big skew (salt_hot_cells): a hot cell — a dense urban/coastal cell
+    with many cover rows on BOTH sides — makes the cell equi-join quadratic
+    in that one key on one reducer. A sampled cover histogram (5% of side
+    A's polygons, so ~5% of one cover pass) finds cells whose count exceeds
+    salt_hot_multiplier x the mean; only those get salted (side A hashed by
+    poly_id, side B's hot rows replicated per salt), splitting each hot
+    cell across its salt-factor reducers — replication cost proportional to
+    the skew, not the table (spatial/skew.py, the machinery pip_salted
+    uses). AQE's skew-join split remains the backstop for skew the sample
+    misses. When the histogram finds NO hot cells the join stays symmetric,
+    and a self-join (polys_a is polys_b) then builds both sides from ONE
+    cover plan whose shuffles Catalyst dedups via ReusedExchange: covers
+    are computed and exchanged once, not twice."""
     spark = polys_a.sparkSession
+    self_join = polys_a is polys_b
     pdf_a = polys_a.limit(driver_plan_max + 1).toPandas()
-    pdf_b = polys_b.limit(driver_plan_max + 1).toPandas()
+    pdf_b = pdf_a if self_join else polys_b.limit(driver_plan_max + 1).toPandas()
     a_small = len(pdf_a) <= driver_plan_max
     b_small = len(pdf_b) <= driver_plan_max
 
@@ -159,9 +177,12 @@ def bbox_overlap_join(
         # fits choice inflates tiny-box covers ~100x for zero extra
         # selectivity (the exact refine runs on candidates either way).
         # Take the coarser of the two: the cap can only loosen when cells
-        # grow, so max_cells still holds.
+        # grow, so max_cells still holds. A self-join measures its one
+        # input once, not per side.
+        sides = ((pdf_a, a_small, polys_a),) if self_join else (
+            (pdf_a, a_small, polys_a), (pdf_b, b_small, polys_b))
         cap_res, mean_area = res_max, 0.0
-        for pdf, small, df in ((pdf_a, a_small, polys_a), (pdf_b, b_small, polys_b)):
+        for pdf, small, df in sides:
             r, a = (
                 _res_stats_pdf(pdf, res_min, res_max, max_cells)
                 if small
@@ -172,37 +193,84 @@ def bbox_overlap_join(
         mean_res = _res_for_mean_area(mean_area, res_min, res_max, target_cells_per_box)
         res = max(res_min, min(cap_res, mean_res))
 
-    def side(df: DataFrame, pdf, small: bool, tag: str) -> DataFrame:
+    def raw_cover(df: DataFrame, pdf, small: bool) -> DataFrame:
         cov = (
             spark.createDataFrame(covers_pdf(pdf, fixed_res=res), COVER_SCHEMA)
             if small
             else covers_df(df, fixed_res=res)
         )
+        return cov.select("poly_id", "cell", "west", "south", "east", "north")
+
+    def tagged(cov: DataFrame, tag: str) -> DataFrame:
         return cov.select(
             F.col("poly_id").alias(f"id_{tag}"), "cell",
             F.col("west").alias(f"w{tag}"), F.col("south").alias(f"s{tag}"),
             F.col("east").alias(f"e{tag}"), F.col("north").alias(f"n{tag}"),
         )
 
-    cov_a = side(polys_a, pdf_a, a_small, "a")
-    cov_b = side(polys_b, pdf_b, b_small, "b")
-    if b_small:
-        cov_b = F.broadcast(cov_b)
-    elif a_small:
-        cov_a = F.broadcast(cov_a)
-    else:
-        # BOTH sides big: pin sort-merge on the cell key. Without the hint,
-        # AQE's runtime stats can flip a multi-million-row cover side to a
-        # broadcast build and OOM the driver (observed in a vanilla 1g
-        # session at sf0.01) — and at 100 TB a broadcast of either side is
-        # never the right plan; the shuffle-on-cell co-location is.
-        cov_a = cov_a.hint("merge")
-    return (
-        cov_a.join(cov_b, "cell")
-        .filter(
-            (F.col("wa") <= F.col("eb")) & (F.col("ea") >= F.col("wb"))
-            & (F.col("sa") <= F.col("nb")) & (F.col("na") >= F.col("sb"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    raw_a = raw_cover(polys_a, pdf_a, a_small)
+    raw_b = raw_a if self_join else raw_cover(polys_b, pdf_b, b_small)
+
+    refine = (
+        (F.col("wa") <= F.col("eb")) & (F.col("ea") >= F.col("wb"))
+        & (F.col("sa") <= F.col("nb")) & (F.col("na") >= F.col("sb"))
     )
+
+    if not (a_small or b_small):
+        # BOTH sides big. Sort-merge is pinned on the cell key in every
+        # branch below: without the hint, AQE's runtime stats can flip a
+        # multi-million-row cover side to a broadcast build and OOM the
+        # driver (observed in a vanilla 1g session at sf0.01) — and at
+        # 100 TB a broadcast of either side is never the right plan; the
+        # shuffle-on-cell co-location is.
+        salts: dict[int, int] = {}
+        if salt_hot_cells:
+            from stac_to_geocore_spark.spatial.skew import plan_salts
+
+            # histogram over the covers of a polygon SAMPLE (sampling before
+            # cover generation: ~5% of one cover pass, not a full extra
+            # one); hotness is count/mean, invariant to the sampling rate
+            hist_src = covers_df(
+                polys_a.sample(fraction=salt_sample_fraction, seed=42),
+                fixed_res=res,
+            )
+            salts = plan_salts(hist_src, sample_fraction=1.0,
+                               hot_multiplier=salt_hot_multiplier)
+        if salts:
+            salt_map = F.create_map(*[F.lit(x) for kv in salts.items() for x in kv])
+            factor = F.coalesce(salt_map[F.col("cell")], F.lit(1))
+            cov_a = tagged(raw_a, "a").withColumn(
+                "salt", F.pmod(F.xxhash64("id_a"), factor).cast("int"))
+            cov_b = tagged(raw_b, "b").withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), factor - 1)))
+            joined = cov_a.hint("merge").join(cov_b, ["cell", "salt"])
+        elif self_join:
+            # aliased self-join over the ONE raw cover: both SMJ inputs
+            # exchange the identical subtree, so Catalyst's ReuseExchange
+            # computes + shuffles the covers once (verified: the final AQE
+            # plan shows one MapInPandas and a ReusedExchange second side)
+            lhs, rhs = raw_a.alias("A"), raw_a.alias("B")
+            return (
+                lhs.hint("merge").join(rhs, F.col("A.cell") == F.col("B.cell"))
+                .filter(
+                    (F.col("A.west") <= F.col("B.east"))
+                    & (F.col("A.east") >= F.col("B.west"))
+                    & (F.col("A.south") <= F.col("B.north"))
+                    & (F.col("A.north") >= F.col("B.south"))
+                )
+                .select(F.col("A.poly_id").alias("id_a"),
+                        F.col("B.poly_id").alias("id_b"))
+                .distinct()
+            )
+        else:
+            joined = tagged(raw_a, "a").hint("merge").join(tagged(raw_b, "b"), "cell")
+    else:
+        cov_a = tagged(raw_a, "a")
+        cov_b = tagged(raw_b, "b")
+        if b_small:
+            cov_b = F.broadcast(cov_b)
+        else:
+            cov_a = F.broadcast(cov_a)
+        joined = cov_a.join(cov_b, "cell")
+
+    return joined.filter(refine).select("id_a", "id_b").distinct()

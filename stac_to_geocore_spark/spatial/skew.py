@@ -28,16 +28,22 @@ def plan_salts(
 
     A cell is hot when its (estimated) count exceeds hot_multiplier x the
     mean cell count; its salt factor scales with the overshoot, capped.
+
+    Only the HOT rows are ever collected: the mean comes from a two-scalar
+    aggregate and the hot filter runs server-side, so the driver transfer
+    is proportional to the skew (bounded by the hot-cell count), never to
+    the number of distinct cells — at 100 TB the full cell histogram is
+    itself a large table.
     """
     sample = points_with_cell.sample(fraction=sample_fraction, seed=42) if sample_fraction < 1.0 else points_with_cell
-    hist = sample.groupBy(cell_col).count().collect()
-    if not hist:
+    hist = sample.groupBy(cell_col).agg(F.count(F.lit(1)).alias("count"))
+    stats = hist.agg(F.sum("count").alias("total"), F.count(F.lit(1)).alias("ncells")).collect()[0]
+    if not stats["ncells"]:
         return {}
-    mean = sum(r["count"] for r in hist) / len(hist)
+    mean = stats["total"] / stats["ncells"]
     out = {}
-    for r in hist:
-        if r["count"] > hot_multiplier * mean:
-            out[int(r[cell_col])] = int(min(max_salt, max(2, round(r["count"] / mean / hot_multiplier * 4))))
+    for r in hist.filter(F.col("count") > hot_multiplier * mean).collect():
+        out[int(r[cell_col])] = int(min(max_salt, max(2, round(r["count"] / mean / hot_multiplier * 4))))
     return out
 
 

@@ -151,3 +151,94 @@ def test_bbox_overlap_join_vs_brute_force(spark):
         if a[1] <= b[3] and a[3] >= b[1] and a[2] <= b[4] and a[4] >= b[2]:
             want.add((a[0], b[0]))
     assert got == want and ("p0", "p3") in got and ("p0", "p2") in got
+
+
+def test_cover_batch_kernel_bit_identical():
+    """cover_bbox_batch_np must reproduce cover_bbox_np EXACTLY (same cells,
+    same fully_inside, same order) for every box it claims to handle, across
+    tiny/medium/high-latitude boxes and several resolutions."""
+    from stac_to_geocore_spark.spatial.cover import cover_bbox_batch_np
+
+    rng = np.random.default_rng(11)
+    n = 600
+    lon = rng.uniform(-179, 178, n)
+    lat = rng.uniform(-85, 84, n)
+    dx = 10 ** rng.uniform(-3, 0.7, n)
+    dy = 10 ** rng.uniform(-3, 0.5, n)
+    w, e = lon - dx, lon + dx
+    s = np.maximum(lat - dy, -89.9)
+    nn = np.minimum(lat + dy, 89.9)
+    for res in (4, 6, 8):
+        bi, cells, full, handled = cover_bbox_batch_np(w, s, e, nn, res)
+        assert handled.sum() > n // 3  # the batch path takes a real share
+        order = np.argsort(bi, kind="stable")
+        bi_s, cells_s, full_s = bi[order], cells[order], full[order]
+        bounds = np.searchsorted(bi_s, np.arange(n + 1))
+        for i in range(n):
+            if not handled[i]:
+                continue
+            c_ref, f_ref = cover_bbox_np(w[i], s[i], e[i], nn[i], res)
+            lo, hi = bounds[i], bounds[i + 1]
+            assert np.array_equal(c_ref, cells_s[lo:hi]), i
+            assert np.array_equal(f_ref, full_s[lo:hi]), i
+
+
+def _scatter_boxes(spark, n, hot_fraction=0.0):
+    """> DRIVER_DIM_MAX synthetic boxes; hot_fraction of them stacked on one
+    location (a 'dense city') so their covers pile onto the same few cells."""
+    from pyspark.sql import functions as Fx
+
+    # QUADRATIC scatter (m*m + c*m): a linear multiplicative scatter of
+    # consecutive ids is a low-discrepancy lattice with NO close pairs —
+    # the join would be vacuous (the round-4 fixture lesson)
+    m1 = Fx.pmod(Fx.col("id") * 40503 + 17, Fx.lit(86000))
+    m2 = Fx.pmod(Fx.col("id") * 9851 + 3, Fx.lit(40000))
+    df = spark.range(n).select(
+        Fx.concat(Fx.lit("b"), Fx.col("id").cast("string")).alias("poly_id"),
+        (Fx.lit(-140.0) + Fx.pmod(m1 * m1 + 7 * m1, Fx.lit(86000)) / 1000.0).alias("lon"),
+        (Fx.lit(42.0) + Fx.pmod(m2 * m2 + 13 * m2, Fx.lit(40000)) / 1000.0).alias("lat"),
+        Fx.col("id"),
+    )
+    if hot_fraction:
+        cut = int(n * hot_fraction)
+        df = df.select(
+            "poly_id",
+            Fx.when(Fx.col("id") < cut, Fx.lit(-70.0) + Fx.col("id") / 1e7).otherwise(Fx.col("lon")).alias("lon"),
+            Fx.when(Fx.col("id") < cut, Fx.lit(45.0) + Fx.col("id") / 1e7).otherwise(Fx.col("lat")).alias("lat"),
+        )
+    return df.select(
+        "poly_id",
+        (F.col("lon") - 0.03).alias("west"), (F.col("lat") - 0.02).alias("south"),
+        (F.col("lon") + 0.03).alias("east"), (F.col("lat") + 0.02).alias("north"),
+    )
+
+
+def test_bbox_overlap_self_join_reuses_exchange(spark):
+    """Both-big SELF-join with no hot cells: the covers must be computed and
+    shuffled ONCE (ReusedExchange on the second SMJ input), not twice."""
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    polys = _scatter_boxes(spark, 11000)
+    out = bbox_overlap_join(polys, polys).filter("id_a < id_b")
+    out.collect()  # the df's OWN execution -> final adaptive plan below
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # drop the pre-AQE echo
+    assert final.count("MapInPandas") == 1, final[:2000]
+    assert "ReusedExchange" in final
+
+
+def test_bbox_overlap_salted_hot_cells_same_result(spark):
+    """A stacked 'city' of boxes must trigger hot-cell salting on the
+    both-big path, and the salted join must return EXACTLY the plain rows."""
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    polys = _scatter_boxes(spark, 10500, hot_fraction=0.02)
+    # hot_fraction puts ~210 near-identical boxes on one spot: their covers
+    # land on the same handful of cells, far above 8x the mean cell count
+    salted = bbox_overlap_join(polys, polys, salt_hot_cells=True)
+    plain = bbox_overlap_join(polys, polys, salt_hot_cells=False)
+    s_plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "salt" in s_plan  # the salted join shape was actually planned
+    got_s = {(r.id_a, r.id_b) for r in salted.collect()}
+    got_p = {(r.id_a, r.id_b) for r in plain.collect()}
+    assert got_s == got_p and len(got_s) > 0
