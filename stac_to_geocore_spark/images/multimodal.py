@@ -62,18 +62,37 @@ def thumbnails(images: DataFrame, size: int = 16, fmt: str = "png") -> DataFrame
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, THUMB_SCHEMA)
 
 
-# --- audio: real WAV/PCM decode (stdlib), stub only for compressed ---
+# --- audio: real WAV/PCM decode (stdlib), pluggable registry for the rest ---
+
+# fmt -> fn(bytes) -> (mono float32 PCM in [-1, 1], sample_rate). A cluster
+# image with real codec libs registers compressed formats here ONCE at
+# driver startup (register_audio_decoder("mp3", ...)); no module edits.
+# The DataFrame builders below snapshot this dict into the UDF closure at
+# plan-build time, so registered decoders ride cloudpickle to every
+# executor — a worker's fresh module import never needs to replay the
+# registration (tests/test_multimodal.py proves the contract end-to-end
+# with a fake compressed format).
+AUDIO_DECODERS: dict = {}
 
 
-def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+def register_audio_decoder(fmt: str, fn) -> None:
+    """Plug a decoder fn(bytes) -> (float32 mono PCM, sample_rate) for a
+    format the built-ins don't cover (mp3/flac/ogg on a cluster image)."""
+    AUDIO_DECODERS[fmt] = fn
+
+
+def decode_audio(data: bytes, fmt: str, decoders: dict | None = None
+                 ) -> tuple[np.ndarray, int]:
     """bytes -> (mono float32 PCM in [-1, 1], sample_rate).
 
     'wav' is a REAL decoder: stdlib `wave` parses the RIFF container
     (PCM 8/16/24/32-bit, any channel count; channels averaged to mono) — no
     external codec libs needed. 'fakepcm' stays as the raw-int16 test
-    payload (nominal 16 kHz). Compressed formats (mp3/flac/ogg) raise: those
-    codecs are absent in this container; a cluster image plugs a decoder
-    into this same dispatch, mirroring images/codecs._DECODERS."""
+    payload (nominal 16 kHz). Other formats dispatch through the decoder
+    registry (`decoders` snapshot if given, else the module-level
+    AUDIO_DECODERS); unregistered compressed formats raise — those codecs
+    are absent in this container, and a cluster image plugs its own in via
+    register_audio_decoder, mirroring images/codecs._DECODERS."""
     import io
 
     if fmt == "wav":
@@ -100,9 +119,13 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
         return x, rate
     if fmt == "fakepcm":
         return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0, 16000
+    fn = (decoders if decoders is not None else AUDIO_DECODERS).get(fmt)
+    if fn is not None:
+        return fn(data)
     raise NotImplementedError(
         f"audio format {fmt!r}: compressed-audio codec libs (soundfile/ffmpeg) "
-        "are absent in this container; plug a decoder here on a cluster image"
+        "are absent in this container; register one via "
+        "register_audio_decoder on a cluster image"
     )
 
 
@@ -119,11 +142,16 @@ def audio_features(audio: DataFrame) -> DataFrame:
     WAV bytes via decode_audio; mapInPandas over fat binary rows, numpy
     per batch (no per-row Python in the math)."""
 
+    # snapshot the registry NOW (driver, plan-build time): the dict rides
+    # the UDF closure to executors, where a fresh module import would see
+    # an empty module-level registry
+    decoders = dict(AUDIO_DECODERS)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples(index=False):
-                pcm, rate = decode_audio(bytes(r.bytes), r.fmt)
+                pcm, rate = decode_audio(bytes(r.bytes), r.fmt, decoders)
                 n = len(pcm)
                 rms = float(np.sqrt(np.mean(pcm * pcm))) if n else 0.0
                 peak = float(np.abs(pcm).max()) if n else 0.0
@@ -142,13 +170,32 @@ def audio_features(audio: DataFrame) -> DataFrame:
     return audio.select("audio_id", "bytes", "fmt").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
-def _decode_video_frames_stub(data: bytes, fmt: str, every_n: int) -> list[np.ndarray]:
-    """STUB: no video codecs here. 'fakemjpg' = concatenated PNG frames with
-    a 4-byte big-endian length prefix each — real container logic, toy codec."""
+# fmt -> fn(bytes) -> list of decoded HxWx3 uint8 frames (ALL frames; the
+# sampling stride is applied by the dispatch). Same snapshot-into-closure
+# contract as AUDIO_DECODERS.
+VIDEO_DEMUXERS: dict = {}
+
+
+def register_video_demuxer(fmt: str, fn) -> None:
+    """Plug a demuxer/decoder fn(bytes) -> [frame ndarray, ...] for a video
+    format the built-in toy codec doesn't cover (a cluster image's ffmpeg)."""
+    VIDEO_DEMUXERS[fmt] = fn
+
+
+def _decode_video_frames_stub(data: bytes, fmt: str, every_n: int,
+                              demuxers: dict | None = None) -> list[np.ndarray]:
+    """Codec dispatch: 'fakemjpg' = concatenated PNG frames with a 4-byte
+    big-endian length prefix each — real container logic, toy codec; other
+    formats go through the VIDEO_DEMUXERS registry; unregistered formats
+    raise (no codec libs in this container)."""
     if fmt != "fakemjpg":
+        fn = (demuxers if demuxers is not None else VIDEO_DEMUXERS).get(fmt)
+        if fn is not None:
+            return [f for i, f in enumerate(fn(data)) if i % every_n == 0]
         raise NotImplementedError(
             f"video format {fmt!r}: real codec libs are absent in this "
-            "container; plug a demuxer/decoder here on a cluster image"
+            "container; register one via register_video_demuxer on a "
+            "cluster image"
         )
     frames, pos, i = [], 0, 0
     while pos + 4 <= len(data):
@@ -169,11 +216,13 @@ def sample_frames(video: DataFrame, every_n: int = 2) -> DataFrame:
     frame-sampling plumbing for video training data: a mapInPandas that
     EXPLODES rows (one in, many out), the shape real video pipelines need."""
 
+    demuxers = dict(VIDEO_DEMUXERS)  # snapshot into the closure (see audio)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples(index=False):
-                for idx, frame in enumerate(_decode_video_frames_stub(bytes(r.bytes), r.fmt, every_n)):
+                for idx, frame in enumerate(_decode_video_frames_stub(bytes(r.bytes), r.fmt, every_n, demuxers)):
                     lum = float((frame.astype(np.float64) @ np.array([0.114, 0.587, 0.299])).mean())
                     rows.append((r.video_id, idx, frame.shape[0], frame.shape[1], round(lum, 4)))
             yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "h", "w", "mean_lum"])

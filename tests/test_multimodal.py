@@ -126,3 +126,71 @@ def test_audio_compressed_format_still_raises():
 
     with _pytest.raises(NotImplementedError, match="codec libs.*absent"):
         decode_audio(b"\xff\xfb\x90", "mp3")
+
+
+def test_registered_audio_decoder_runs_end_to_end(spark):
+    """The pluggable-decoder contract: a third-party 'mp3' decoder drops
+    into the dispatch via register_audio_decoder — NO module edits — and
+    audio_features runs end-to-end through it on executors (the registry is
+    snapshotted into the UDF closure, so a worker's fresh module import
+    doesn't need the registration replayed)."""
+    import pandas as pd
+
+    from stac_to_geocore_spark.images.multimodal import (
+        AUDIO_DECODERS,
+        audio_features,
+        register_audio_decoder,
+    )
+
+    def fake_mp3_decoder(data: bytes):
+        # toy "compressed" layout: 4-byte rate then int16 little-endian PCM
+        rate = int.from_bytes(data[:4], "big")
+        return np.frombuffer(data[4:], dtype="<i2").astype(np.float32) / 32768.0, rate
+
+    x = (np.sin(np.linspace(0, 40, 4000)) * 20000).astype("<i2")
+    blob = (22050).to_bytes(4, "big") + x.tobytes()
+    register_audio_decoder("mp3", fake_mp3_decoder)
+    try:
+        df = spark.createDataFrame(
+            pd.DataFrame({"audio_id": ["a0"], "bytes": [blob], "fmt": ["mp3"]}))
+        row = audio_features(df).collect()[0]
+        assert row.sample_rate == 22050 and row.n_samples == 4000
+        assert row.duration_ms == 4000 * 1000 // 22050
+        assert 0.4 < row.rms < 0.7 and row.zero_crossings > 10
+    finally:
+        AUDIO_DECODERS.pop("mp3", None)
+
+
+def test_registered_video_demuxer_runs_end_to_end(spark):
+    """Same contract for video: an 'mjpg' demuxer registered at the driver
+    carries through sample_frames (stride applied by the dispatch)."""
+    from stac_to_geocore_spark.images.codecs import encode_image
+    from stac_to_geocore_spark.images.multimodal import (
+        VIDEO_DEMUXERS,
+        register_video_demuxer,
+        sample_frames,
+    )
+
+    def fake_mjpg_demuxer(data: bytes):
+        out, pos = [], 0
+        while pos + 4 <= len(data):
+            n = int.from_bytes(data[pos:pos + 4], "big")
+            out.append(decode_image(data[pos + 4:pos + 4 + n], "png"))
+            pos += 4 + n
+        return out
+
+    frames = [np.full((6, 8, 3), 40 * (i + 1), np.uint8) for i in range(5)]
+    blob = b"".join(
+        len(p).to_bytes(4, "big") + p
+        for p in (encode_image(f, "png") for f in frames)
+    )
+    register_video_demuxer("mjpg", fake_mjpg_demuxer)
+    try:
+        df = spark.createDataFrame(
+            [("v0", blob, "mjpg")], "video_id string, bytes binary, fmt string")
+        rows = sample_frames(df, every_n=2).orderBy("frame_idx").collect()
+        assert [r.frame_idx for r in rows] == [0, 1, 2]  # frames 0, 2, 4
+        assert rows[0].h == 6 and rows[0].w == 8
+        assert abs(rows[1].mean_lum - 120.0) < 0.01  # frame 2 is constant 120
+    finally:
+        VIDEO_DEMUXERS.pop("mjpg", None)
