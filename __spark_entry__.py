@@ -247,13 +247,27 @@ def _replay_events_complete(spark: SparkSession, sf_dir: str, build, tag: str) -
     out = build(stream_events_from_dir(spark, src, max_files=1))
     q = (out.writeStream.format("memory").queryName(qname)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"{qname}: availableNow replay did not finish in 600 s — a "
+            "partial complete-mode snapshot must never reach the oracle")
+    # the complete-mode memory sink holds the result in driver memory; the
+    # staged parquet replay files are no longer referenced
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(qname)
 
 
 def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_hourly: watermarked tumbling-window counts
-    over the chronological replay must equal the batch aggregation."""
+    over the chronological replay must equal the batch aggregation.
+
+    The value-exact float compare is safe against the stream's different
+    accumulation order: event values are 2-dp, so every group's true sum is
+    a multiple of 0.01 — ROUND(sum, 3) sits 0.005 from the nearest rounding
+    boundary (measured min distance 0.4999... in 3rd-decimal units at
+    sf0.01) while cross-order double error is ~1e-10 absolute."""
     from stac_to_geocore_spark.streaming.events import windowed_event_counts
 
     return _replay_events_complete(spark, sf_dir, windowed_event_counts, "hourly")

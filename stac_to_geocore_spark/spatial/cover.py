@@ -184,7 +184,8 @@ def cover_bbox_batch_np(west: np.ndarray, south: np.ndarray, east: np.ndarray,
         for lo in range(0, n, chunk):
             bi, c, f, h = cover_bbox_batch_np(
                 west[lo:lo + chunk], south[lo:lo + chunk],
-                east[lo:lo + chunk], north[lo:lo + chunk], res, max_samples)
+                east[lo:lo + chunk], north[lo:lo + chunk], res,
+                max_samples, chunk)
             bis.append(bi + lo)
             cs.append(c)
             fs.append(f)
@@ -347,10 +348,16 @@ def covers_df(polys: DataFrame, res_min: int = 5, res_max: int = 9,
     """
     if min_partitions is None:
         min_partitions = polys.sparkSession.sparkContext.defaultParallelism
-    # Unconditional: probing the current partition count via .rdd would force
-    # plan analysis on an otherwise-lazy path, and the repartition's shuffled
-    # rows are 5 scalars each — noise next to the python work it parallelizes.
-    polys = polys.repartition(min_partitions)
+    # The probe costs one driver-side plan analysis (~ms, no job) — kept
+    # DELIBERATELY over an unconditional repartition: repartition(cores)
+    # would silently DOWN-partition a big region table that arrives with
+    # thousands of file splits, collapsing the CPU-bound cover stage into
+    # core-count giant tasks with no straggler/retry granularity. The guard
+    # only ever RAISES parallelism (its purpose: a compact dim table read
+    # as 1-2 splits serializing 10^5 covers onto 2 cores), and the shuffled
+    # rows are 5 scalars each — noise next to the python work parallelized.
+    if polys.rdd.getNumPartitions() < min_partitions:
+        polys = polys.repartition(min_partitions)
 
     empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in COVER_SCHEMA.fields})
 

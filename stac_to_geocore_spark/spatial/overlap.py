@@ -237,13 +237,14 @@ def bbox_overlap_join(
             salts = plan_salts(hist_src, sample_fraction=1.0,
                                hot_multiplier=salt_hot_multiplier)
         if salts:
-            salt_map = F.create_map(*[F.lit(x) for kv in salts.items() for x in kv])
-            factor = F.coalesce(salt_map[F.col("cell")], F.lit(1))
-            cov_a = tagged(raw_a, "a").withColumn(
-                "salt", F.pmod(F.xxhash64("id_a"), factor).cast("int"))
-            cov_b = tagged(raw_b, "b").withColumn(
-                "salt", F.explode(F.sequence(F.lit(0), factor - 1)))
-            joined = cov_a.hint("merge").join(cov_b, ["cell", "salt"])
+            # the one salted-equi-join implementation (spatial/skew.py):
+            # side A plays the hashed "points" role, side B replicates
+            from stac_to_geocore_spark.spatial.skew import salted_cell_join
+
+            joined = salted_cell_join(
+                tagged(raw_a, "a").hint("merge"), tagged(raw_b, "b"),
+                salts, point_id="id_a",
+            )
         elif self_join:
             # aliased self-join over the ONE raw cover: both SMJ inputs
             # exchange the identical subtree, so Catalyst's ReuseExchange
