@@ -36,21 +36,23 @@ def plan_salts(
     itself a large table.
     """
     sample = points_with_cell.sample(fraction=sample_fraction, seed=42) if sample_fraction < 1.0 else points_with_cell
-    # persist across the two actions: the upstream plan (e.g. a sampled
-    # cover-generation mapInPandas) must run once, not once per collect —
-    # the cached histogram itself is small (2 scalars per distinct cell)
-    hist = sample.groupBy(cell_col).agg(F.count(F.lit(1)).alias("count")).persist()
-    try:
-        stats = hist.agg(F.sum("count").alias("total"), F.count(F.lit(1)).alias("ncells")).collect()[0]
-        if not stats["ncells"]:
-            return {}
-        mean = stats["total"] / stats["ncells"]
-        out = {}
-        for r in hist.filter(F.col("count") > hot_multiplier * mean).collect():
-            out[int(r[cell_col])] = int(min(max_salt, max(2, round(r["count"] / mean / hot_multiplier * 4))))
-        return out
-    finally:
-        hist.unpersist()
+    hist = sample.groupBy(cell_col).agg(F.count(F.lit(1)).alias("count"))
+    # ONE action: the mean rides in as a broadcast scalar row, so the hot
+    # filter runs server-side in the same job. The histogram subtree appears
+    # twice in the plan, but both sides hash-exchange the identical child —
+    # Catalyst's ReuseExchange computes the upstream (e.g. a sampled
+    # cover-generation mapInPandas) once. An empty histogram yields a NULL
+    # mean, the comparison drops every row, and the result is {}.
+    mean_col = (F.sum("count") / F.count(F.lit(1))).alias("mean")
+    hot = (
+        hist.crossJoin(F.broadcast(hist.agg(mean_col)))
+        .filter(F.col("count") > hot_multiplier * F.col("mean"))
+        .collect()
+    )
+    out = {}
+    for r in hot:
+        out[int(r[cell_col])] = int(min(max_salt, max(2, round(r["count"] / r["mean"] / hot_multiplier * 4))))
+    return out
 
 
 def salted_cell_join(
