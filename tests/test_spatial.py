@@ -242,3 +242,22 @@ def test_bbox_overlap_salted_hot_cells_same_result(spark):
     got_s = {(r.id_a, r.id_b) for r in salted.collect()}
     got_p = {(r.id_a, r.id_b) for r in plain.collect()}
     assert got_s == got_p and len(got_s) > 0
+
+
+def test_bbox_overlap_non_self_paths_match_self_join(spark):
+    """The both-big NON-self branches (symmetric tagged join, and salted)
+    must return exactly what the self-join path returns on the same data —
+    a second DataFrame over identical rows is NOT `is`-identical, so it
+    exercises the code path real two-table joins take."""
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    polys = _scatter_boxes(spark, 10500, hot_fraction=0.02)
+    other = polys.select("*")  # same rows, different plan object
+    assert other is not polys
+    ref = {(r.id_a, r.id_b)
+           for r in bbox_overlap_join(polys, polys, salt_hot_cells=False).collect()}
+    sym = {(r.id_a, r.id_b)
+           for r in bbox_overlap_join(polys, other, salt_hot_cells=False).collect()}
+    salted = {(r.id_a, r.id_b)
+              for r in bbox_overlap_join(polys, other, salt_hot_cells=True).collect()}
+    assert sym == ref and salted == ref and len(ref) > 0
