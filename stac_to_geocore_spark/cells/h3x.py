@@ -281,16 +281,20 @@ def h3_children_np(cell: np.ndarray) -> np.ndarray:
     return _pack(face7, ca, cb, r0 + 1)
 
 
-def h3_compact_np(cells: np.ndarray) -> np.ndarray:
+def h3_compact_np(cells: np.ndarray, min_res: int = 0) -> np.ndarray:
     """Minimal multi-res representation: wherever all 7 children of a parent
     are present they are replaced by the parent, cascading finest-to-coarsest
     (the H3 `compact` operation — what makes multi-res covers cheap to store
-    and join). Input may be mixed-res; output is sorted unique ids."""
+    and join). Input may be mixed-res; output is sorted unique ids.
+
+    min_res bounds the cascade: no output cell is coarser than min_res —
+    multi-res JOINS use this to keep the level set (and so their ancestor
+    expansion factor) fixed and small."""
     out = np.unique(np.asarray(cells, dtype=np.int64))
     if len(out) == 0:
         return out
     _, _, _, res_all = h3_unpack(out)
-    for r in range(int(res_all.max()), 0, -1):
+    for r in range(int(res_all.max()), min_res, -1):
         face, a, b, res = h3_unpack(out)
         m = res == r
         if not m.any():

@@ -279,15 +279,16 @@ def cover_bbox_batch_np(west: np.ndarray, south: np.ndarray, east: np.ndarray,
 
 
 def cover_bbox_compact_np(west: float, south: float, east: float, north: float,
-                          res: int) -> tuple[np.ndarray, np.ndarray]:
+                          res: int, min_res: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Multi-res compact cover: interior (fully-inside) cells collapse to
     their aperture-7 ancestors wherever a complete 7-child set is present;
     boundary cells stay at `res` for the exact refine. Returns
     (compact_interior_cells, boundary_cells). Exact inverse:
     h3_uncompact_np(interior, res) reproduces the fine interior set —
-    the storage/broadcast win for large polygons is ~7x per collapsed level."""
+    the storage/broadcast win for large polygons is ~7x per collapsed level.
+    min_res bounds the collapse (see h3_compact_np)."""
     cells, full = cover_bbox_np(west, south, east, north, res)
-    return h3x.h3_compact_np(cells[full]), np.sort(cells[~full])
+    return h3x.h3_compact_np(cells[full], min_res), np.sort(cells[~full])
 
 
 # Shared driver-dim contract: a geometry table at or below this row count is
@@ -413,6 +414,102 @@ def covers_df(polys: DataFrame, res_min: int = 5, res_max: int = 9,
             yield pd.concat(parts, ignore_index=True) if parts else empty
 
     return polys.mapInPandas(gen, COVER_SCHEMA)
+
+
+COVER_EXPANDED_SCHEMA = StructType(
+    [
+        StructField("poly_id", StringType(), False),
+        StructField("lvl", IntegerType(), False),
+        StructField("nat", BooleanType(), False),
+        StructField("key", LongType(), False),
+        StructField("west", DoubleType(), False),
+        StructField("south", DoubleType(), False),
+        StructField("east", DoubleType(), False),
+        StructField("north", DoubleType(), False),
+    ]
+)
+
+
+def covers_df_compact_expanded(polys: DataFrame, fine_res: int,
+                               levels: list[int],
+                               min_partitions: int | None = None) -> DataFrame:
+    """Distributed COMPACT multi-res covers, pre-expanded into join rows.
+
+    For each polygon: the fine-res cover is compacted (interior cells
+    collapse to aperture-7 ancestors, bounded at min(levels)); each compact
+    cell of res r then emits one (lvl, key=ancestor(cell, lvl)) row per
+    lvl in `levels` with lvl <= r, flagged nat = (lvl == r) on its NATIVE
+    level. Joining two such expansions on (lvl, key) with the condition
+    (A.nat OR B.nat) yields a complete candidate set: two intersecting
+    bboxes share a point whose fine cell c is represented in both compact
+    covers by SOME ancestor (res ra, rb); at lvl = min(ra, rb) both sides
+    emit ancestor(c, lvl) — ancestry composition is exact lattice math —
+    and the side with the coarser representation is NATIVE at that level
+    by construction, so the join cannot miss the pair (duplicates from
+    coarser shared levels are removed by the caller's distinct). The
+    native-side requirement is what kills the coarse-level quadratic:
+    without it, every fine cell's ancestor rows join every OTHER fine
+    cell's ancestor rows at the coarsest level — measured 30x MORE
+    candidates than the single-res join on a dense fixture; with it,
+    coarse levels only match against genuinely-collapsed interiors.
+
+    The expansion happens INSIDE the one mapInPandas (numpy h3_parent_np
+    per level over the whole batch): the cover subtree is computed once,
+    with no per-level union branches or re-scans. Expansion multiplies
+    compact rows by <= len(levels) (typically 4) while compaction divides
+    large-polygon interiors by up to 7^(len(levels)-1) — see
+    bbox_overlap_join_compact for the measured regime analysis."""
+    if min_partitions is None:
+        min_partitions = polys.sparkSession.sparkContext.defaultParallelism
+    if polys.rdd.getNumPartitions() < min_partitions:
+        polys = polys.repartition(min_partitions)
+    lvls = sorted(levels)
+    lo = lvls[0]
+
+    empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in COVER_EXPANDED_SCHEMA.fields})
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                yield empty
+                continue
+            wv = b["west"].to_numpy(np.float64)
+            sv = b["south"].to_numpy(np.float64)
+            ev = b["east"].to_numpy(np.float64)
+            nv = b["north"].to_numpy(np.float64)
+            pid = b["poly_id"].to_numpy(object)
+            cells_l, counts = [], np.zeros(len(b), np.int64)
+            for i in range(len(b)):
+                interior, boundary = cover_bbox_compact_np(
+                    wv[i], sv[i], ev[i], nv[i], fine_res, min_res=lo)
+                c = np.concatenate([interior, boundary])
+                cells_l.append(c)
+                counts[i] = len(c)
+            cells = np.concatenate(cells_l) if cells_l else np.empty(0, np.int64)
+            box = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+            res_of = h3x.h3_unpack(cells)[3] if len(cells) else np.empty(0, np.int64)
+            out_key, out_lvl, out_box, out_nat = [], [], [], []
+            for l in lvls:
+                m = res_of >= l
+                if not m.any():
+                    continue
+                out_key.append(h3x.h3_parent_np(cells[m], l))
+                out_lvl.append(np.full(int(m.sum()), l, np.int32))
+                out_box.append(box[m])
+                out_nat.append(res_of[m] == l)
+            if not out_key:
+                yield empty
+                continue
+            key = np.concatenate(out_key)
+            lvl = np.concatenate(out_lvl)
+            bx = np.concatenate(out_box)
+            nat = np.concatenate(out_nat)
+            yield pd.DataFrame({
+                "poly_id": pid[bx], "lvl": lvl, "nat": nat, "key": key,
+                "west": wv[bx], "south": sv[bx], "east": ev[bx], "north": nv[bx],
+            })
+
+    return polys.mapInPandas(gen, COVER_EXPANDED_SCHEMA)
 
 
 def register_cover_udtf(spark: SparkSession, name: str = "cover_cells") -> None:
