@@ -293,7 +293,7 @@ def test_overlap_mean_res_is_coarser_than_cap_for_tiny_boxes():
         "poly_id": [f"t{i}" for i in range(200)],
         "west": lon, "south": lat, "east": lon + 0.08, "north": lat + 0.07,
     })
-    cap_res, mean_area = _res_stats_pdf(pdf, 3, 9, 2048)
+    cap_res, mean_area, _med = _res_stats_pdf(pdf, 3, 9, 2048)
     mean_res = _res_for_mean_area(mean_area, 3, 9, 4.0)
     assert cap_res == 9  # tiny boxes fit max_cells even at the finest res
     assert mean_res < cap_res  # the tuned res is strictly coarser

@@ -93,7 +93,7 @@ def test_vectorized_res_stats_match_scalar_adaptive_res(spark):
         "west": w, "south": s, "east": w + dw, "north": s + dh,
     })
     df = spark.createDataFrame(pdf)
-    got_res, got_area = _res_stats_distributed(df, 3, 9, 2048)
+    got_res, got_area, got_med = _res_stats_distributed(df, 3, 9, 2048)
     assert got_res == _min_res_pdf(pdf, 3, 9, 2048)
     want_area = float(np.mean(
         np.radians(pdf["east"] - pdf["west"]) * np.radians(pdf["north"] - pdf["south"])
@@ -101,3 +101,14 @@ def test_vectorized_res_stats_match_scalar_adaptive_res(spark):
     ))
     # partitioned float sum order differs from numpy's — compare loosely
     assert abs(got_area - want_area) < 1e-9 * max(1.0, abs(want_area))
+    # the approx median (compact join's res knob) must sit within the
+    # exact median's neighbor ranks — percentile_approx with accuracy 1e4
+    # is exact at n=300, so compare tightly
+    want_med = float(np.median(
+        np.radians(pdf["east"] - pdf["west"]) * np.radians(pdf["north"] - pdf["south"])
+        * np.cos(np.radians((pdf["south"] + pdf["north"]) / 2.0))
+    ))
+    lo = np.sort(np.radians(pdf["east"] - pdf["west"]) * np.radians(pdf["north"] - pdf["south"])
+                 * np.cos(np.radians((pdf["south"] + pdf["north"]) / 2.0)))
+    assert lo[len(lo) // 2 - 2] <= got_med <= lo[len(lo) // 2 + 2]
+    assert abs(got_med - want_med) < 0.5 * want_med
