@@ -430,6 +430,109 @@ COVER_EXPANDED_SCHEMA = StructType(
 )
 
 
+def _validate_levels(fine_res: int, levels: list[int]) -> list[int]:
+    """The completeness argument REQUIRES a contiguous level range ending at
+    fine_res: with a gap (or fine_res missing), cells whose compact res
+    lands in the hole emit no native row and the at-least-one-side-native
+    join silently drops real pairs. Fail loudly at the API boundary."""
+    lvls = sorted({int(l) for l in levels})
+    if not lvls or lvls[-1] != fine_res or lvls != list(range(lvls[0], fine_res + 1)):
+        raise ValueError(
+            f"levels must be a contiguous range ending at fine_res={fine_res}; got {levels}"
+        )
+    return lvls
+
+
+def _compact_expanded_arrays(wv, sv, ev, nv, fine_res: int, lvls: list[int]
+                             ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared numpy body for the compact-expanded cover: batched fine
+    covers -> per-box compaction (only boxes that HAVE interior cells pay
+    the python loop) -> per-level ancestor expansion -> per-(box, lvl, key)
+    dedup. Returns (box_idx, lvl, nat, key), box-major.
+
+    The dedup matters: every boundary cell under the same coarse ancestor
+    would otherwise emit its own duplicate non-native row at that level —
+    up to ~7x per collapsed level of join-input duplication that distinct()
+    would have to absorb downstream."""
+    lo = lvls[0]
+    n = len(wv)
+    # batched fine covers; per-polygon fallback for multi-face/huge boxes
+    bi, cells, full, handled = cover_bbox_batch_np(wv, sv, ev, nv, fine_res)
+    todo = np.nonzero(~handled)[0]
+    if len(todo):
+        extra_c, extra_f, extra_b = [], [], []
+        for i in todo:
+            c, f = cover_bbox_np(wv[i], sv[i], ev[i], nv[i], fine_res)
+            extra_c.append(c)
+            extra_f.append(f)
+            extra_b.append(np.full(len(c), i, np.int64))
+        cells = np.concatenate([cells] + extra_c)
+        full = np.concatenate([full] + extra_f)
+        bi = np.concatenate([bi] + extra_b)
+    order = np.argsort(bi, kind="stable")
+    bi, cells, full = bi[order], cells[order], full[order]
+
+    # compact ONLY the boxes with interior cells (large polygons — rare)
+    has_int = np.bincount(bi[full], minlength=n) > 0 if full.any() else np.zeros(n, bool)
+    if has_int.any():
+        keep = ~has_int[bi]
+        parts_c = [cells[keep]]
+        parts_b = [bi[keep]]
+        starts = np.searchsorted(bi, np.arange(n + 1))
+        for i in np.nonzero(has_int)[0]:
+            sl = slice(starts[i], starts[i + 1])
+            c, f = cells[sl], full[sl]
+            cc = np.concatenate([h3x.h3_compact_np(c[f], lo), c[~f]])
+            parts_c.append(cc)
+            parts_b.append(np.full(len(cc), i, np.int64))
+        cells = np.concatenate(parts_c)
+        bi = np.concatenate(parts_b)
+
+    res_of = h3x.h3_unpack(cells)[3] if len(cells) else np.empty(0, np.int64)
+    out_key, out_lvl, out_box, out_nat = [], [], [], []
+    for l in lvls:
+        m = res_of >= l
+        if not m.any():
+            continue
+        out_key.append(h3x.h3_parent_np(cells[m], l))
+        out_lvl.append(np.full(int(m.sum()), l, np.int32))
+        out_box.append(bi[m])
+        out_nat.append(res_of[m] == l)
+    if not out_key:
+        e = np.empty(0, np.int64)
+        return e, e.astype(np.int32), np.empty(0, bool), e
+    key = np.concatenate(out_key)
+    lvl = np.concatenate(out_lvl)
+    bx = np.concatenate(out_box)
+    nat = np.concatenate(out_nat)
+    # dedup (box, lvl, key); a group is native if ANY of its rows is
+    order = np.lexsort((key, lvl, bx))
+    key, lvl, bx, nat = key[order], lvl[order], bx[order], nat[order]
+    new = np.ones(len(key), bool)
+    new[1:] = (bx[1:] != bx[:-1]) | (lvl[1:] != lvl[:-1]) | (key[1:] != key[:-1])
+    gstart = np.nonzero(new)[0]
+    nat_g = np.maximum.reduceat(nat.astype(np.int8), gstart).astype(bool)
+    return bx[gstart], lvl[gstart], nat_g, key[gstart]
+
+
+def covers_pdf_compact_expanded(polys_pdf: pd.DataFrame, fine_res: int,
+                                levels: list[int]) -> pd.DataFrame:
+    """Driver-side twin of covers_df_compact_expanded for dim-sized region
+    tables: pure numpy, no Spark jobs (the covers_pdf counterpart for the
+    compact join's broadcast path)."""
+    lvls = _validate_levels(fine_res, levels)
+    wv = polys_pdf["west"].to_numpy(np.float64)
+    sv = polys_pdf["south"].to_numpy(np.float64)
+    ev = polys_pdf["east"].to_numpy(np.float64)
+    nv = polys_pdf["north"].to_numpy(np.float64)
+    pid = polys_pdf["poly_id"].to_numpy(object)
+    bx, lvl, nat, key = _compact_expanded_arrays(wv, sv, ev, nv, fine_res, lvls)
+    return pd.DataFrame({
+        "poly_id": pid[bx], "lvl": lvl, "nat": nat, "key": key,
+        "west": wv[bx], "south": sv[bx], "east": ev[bx], "north": nv[bx],
+    })
+
+
 def covers_df_compact_expanded(polys: DataFrame, fine_res: int,
                                levels: list[int],
                                min_partitions: int | None = None) -> DataFrame:
@@ -463,8 +566,7 @@ def covers_df_compact_expanded(polys: DataFrame, fine_res: int,
         min_partitions = polys.sparkSession.sparkContext.defaultParallelism
     if polys.rdd.getNumPartitions() < min_partitions:
         polys = polys.repartition(min_partitions)
-    lvls = sorted(levels)
-    lo = lvls[0]
+    lvls = _validate_levels(fine_res, levels)
 
     empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in COVER_EXPANDED_SCHEMA.fields})
 
@@ -478,32 +580,10 @@ def covers_df_compact_expanded(polys: DataFrame, fine_res: int,
             ev = b["east"].to_numpy(np.float64)
             nv = b["north"].to_numpy(np.float64)
             pid = b["poly_id"].to_numpy(object)
-            cells_l, counts = [], np.zeros(len(b), np.int64)
-            for i in range(len(b)):
-                interior, boundary = cover_bbox_compact_np(
-                    wv[i], sv[i], ev[i], nv[i], fine_res, min_res=lo)
-                c = np.concatenate([interior, boundary])
-                cells_l.append(c)
-                counts[i] = len(c)
-            cells = np.concatenate(cells_l) if cells_l else np.empty(0, np.int64)
-            box = np.repeat(np.arange(len(b), dtype=np.int64), counts)
-            res_of = h3x.h3_unpack(cells)[3] if len(cells) else np.empty(0, np.int64)
-            out_key, out_lvl, out_box, out_nat = [], [], [], []
-            for l in lvls:
-                m = res_of >= l
-                if not m.any():
-                    continue
-                out_key.append(h3x.h3_parent_np(cells[m], l))
-                out_lvl.append(np.full(int(m.sum()), l, np.int32))
-                out_box.append(box[m])
-                out_nat.append(res_of[m] == l)
-            if not out_key:
+            bx, lvl, nat, key = _compact_expanded_arrays(wv, sv, ev, nv, fine_res, lvls)
+            if len(bx) == 0:
                 yield empty
                 continue
-            key = np.concatenate(out_key)
-            lvl = np.concatenate(out_lvl)
-            bx = np.concatenate(out_box)
-            nat = np.concatenate(out_nat)
             yield pd.DataFrame({
                 "poly_id": pid[bx], "lvl": lvl, "nat": nat, "key": key,
                 "west": wv[bx], "south": sv[bx], "east": ev[bx], "north": nv[bx],

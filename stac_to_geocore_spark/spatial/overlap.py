@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
 from stac_to_geocore_spark.spatial.cover import (
+    COVER_EXPANDED_SCHEMA,
     COVER_SCHEMA,
     DRIVER_DIM_MAX,
     adaptive_res,
@@ -61,14 +62,17 @@ def _area_rad2_col():
 
 
 def _res_stats_distributed(
-    df: DataFrame, res_min: int, res_max: int, max_cells: int
+    df: DataFrame, res_min: int, res_max: int, max_cells: int,
+    with_median: bool = False,
 ) -> tuple[int, float, float]:
     """(coarsest adaptive res, mean bbox area rad^2, median bbox area rad^2)
     over a big region table in ONE narrow agg/scan: the per-row res is
     computed in an Arrow batch, the areas in JVM column math; only three
     scalars cross the wire. The single-res join sizes cells to the MEAN box;
     the compact join uses the MEDIAN (robust to the large-box tail that the
-    compaction exists to absorb)."""
+    compaction exists to absorb) — the approx-percentile digest is built
+    only when with_median is set, so the single-res path's stats scan pays
+    nothing for a statistic it discards (median is 0.0 otherwise)."""
     from pyspark.sql.functions import pandas_udf
 
     # adaptive_res, vectorized: res r fits iff bbox_area <= max_cells *
@@ -89,15 +93,17 @@ def _res_stats_distributed(
         fits = areas[:, None] <= thresh[None, :]
         return pd.Series((res_min - 1 + fits.sum(axis=1)).clip(res_min).astype("int32"))
 
-    row = df.select(
+    aggs = [
         F.min(_res(F.col("west"), F.col("south"), F.col("east"), F.col("north"))).alias("r"),
         F.avg(_area_rad2_col()).alias("a"),
-        F.percentile_approx(_area_rad2_col(), 0.5, 10000).alias("m"),
-    ).collect()[0]
+    ]
+    if with_median:
+        aggs.append(F.percentile_approx(_area_rad2_col(), 0.5, 10000).alias("m"))
+    row = df.select(*aggs).collect()[0]
     return (
         int(row["r"]) if row["r"] is not None else res_max,
         float(row["a"]) if row["a"] is not None else 0.0,
-        float(row["m"]) if row["m"] is not None else 0.0,
+        float(row["m"]) if with_median and row["m"] is not None else 0.0,
     )
 
 
@@ -324,6 +330,13 @@ def bbox_overlap_join_compact(
     dominates, and the same (lvl, key, nat) join machinery carries any
     refine predicate.
     """
+    from stac_to_geocore_spark.cells.h3x import MAX_RES
+    from stac_to_geocore_spark.spatial.cover import covers_pdf_compact_expanded
+
+    if collapse_levels < 0:
+        raise ValueError(f"collapse_levels must be >= 0, got {collapse_levels}")
+    if fine_res is not None and not (0 <= fine_res <= MAX_RES):
+        raise ValueError(f"fine_res must be in [0, {MAX_RES}], got {fine_res}")
     spark = polys_a.sparkSession
     self_join = polys_a is polys_b
     pdf_a = polys_a.limit(driver_plan_max + 1).toPandas()
@@ -344,7 +357,7 @@ def bbox_overlap_join_compact(
             r, _a, med = (
                 _res_stats_pdf(pdf, res_min, res_max, max_fine_cells)
                 if small
-                else _res_stats_distributed(df, res_min, res_max, max_fine_cells)
+                else _res_stats_distributed(df, res_min, res_max, max_fine_cells, with_median=True)
             )
             cap_res = min(cap_res, r)
             med_area = max(med_area, med)
@@ -356,12 +369,24 @@ def bbox_overlap_join_compact(
         fine_res = max(res_min, min(cap_res, med_res))
     levels = list(range(max(0, fine_res - collapse_levels), fine_res + 1))
 
-    exp_a = covers_df_compact_expanded(polys_a, fine_res, levels)
+    def side_exp(df: DataFrame, pdf, small: bool) -> DataFrame:
+        # dim-sized sides plan driver-side (pure numpy, zero Spark jobs) and
+        # broadcast — the same contract as bbox_overlap_join's covers_pdf path
+        if small:
+            return spark.createDataFrame(
+                covers_pdf_compact_expanded(pdf, fine_res, levels),
+                COVER_EXPANDED_SCHEMA,
+            )
+        return covers_df_compact_expanded(df, fine_res, levels)
+
+    exp_a = side_exp(polys_a, pdf_a, a_small)
     if self_join:
         lhs, rhs = exp_a.alias("A"), exp_a.alias("B")  # ReusedExchange (see bbox_overlap_join)
+        if a_small:
+            rhs = F.broadcast(rhs)
     else:
         lhs = exp_a.alias("A")
-        rhs = covers_df_compact_expanded(polys_b, fine_res, levels).alias("B")
+        rhs = side_exp(polys_b, pdf_b, b_small).alias("B")
         if b_small:
             rhs = F.broadcast(rhs)
         elif a_small:

@@ -36,19 +36,24 @@ def plan_salts(
     itself a large table.
     """
     sample = points_with_cell.sample(fraction=sample_fraction, seed=42) if sample_fraction < 1.0 else points_with_cell
-    hist = sample.groupBy(cell_col).agg(F.count(F.lit(1)).alias("count"))
     # ONE action: the mean rides in as a broadcast scalar row, so the hot
     # filter runs server-side in the same job. The histogram subtree appears
-    # twice in the plan, but both sides hash-exchange the identical child —
-    # Catalyst's ReuseExchange computes the upstream (e.g. a sampled
-    # cover-generation mapInPandas) once. An empty histogram yields a NULL
-    # mean, the comparison drops every row, and the result is {}.
-    mean_col = (F.sum("count") / F.count(F.lit(1))).alias("mean")
-    hot = (
-        hist.crossJoin(F.broadcast(hist.agg(mean_col)))
-        .filter(F.col("count") > hot_multiplier * F.col("mean"))
-        .collect()
-    )
+    # twice in that plan; the persist (not ReuseExchange, which a conf or a
+    # future canonicalization change could switch off) GUARANTEES the
+    # expensive upstream (e.g. a sampled cover-generation mapInPandas) runs
+    # once — the count and the mean must come from the same materialization.
+    # An empty histogram yields a NULL mean, the comparison drops every row,
+    # and the result is {}.
+    hist = sample.groupBy(cell_col).agg(F.count(F.lit(1)).alias("count")).persist()
+    try:
+        mean_col = (F.sum("count") / F.count(F.lit(1))).alias("mean")
+        hot = (
+            hist.crossJoin(F.broadcast(hist.agg(mean_col)))
+            .filter(F.col("count") > hot_multiplier * F.col("mean"))
+            .collect()
+        )
+    finally:
+        hist.unpersist()
     out = {}
     for r in hot:
         out[int(r[cell_col])] = int(min(max_salt, max(2, round(r["count"] / r["mean"] / hot_multiplier * 4))))

@@ -93,7 +93,7 @@ def test_vectorized_res_stats_match_scalar_adaptive_res(spark):
         "west": w, "south": s, "east": w + dw, "north": s + dh,
     })
     df = spark.createDataFrame(pdf)
-    got_res, got_area, got_med = _res_stats_distributed(df, 3, 9, 2048)
+    got_res, got_area, got_med = _res_stats_distributed(df, 3, 9, 2048, with_median=True)
     assert got_res == _min_res_pdf(pdf, 3, 9, 2048)
     want_area = float(np.mean(
         np.radians(pdf["east"] - pdf["west"]) * np.radians(pdf["north"] - pdf["south"])

@@ -324,7 +324,7 @@ def test_compact_expansion_native_condition_counts(spark):
     cov = covers_df(polys, fixed_res=res_single).select("poly_id", "cell")
     cand_single = cov.alias("A").join(cov.alias("B"), "cell").count()
 
-    r2, _a, med = _res_stats_distributed(polys, 3, 9, 262144)
+    r2, _a, med = _res_stats_distributed(polys, 3, 9, 262144, with_median=True)
     fine = max(3, min(r2, _res_for_mean_area(med, 3, 9, 4.0)))
     exp = covers_df_compact_expanded(
         polys, fine, list(range(max(0, fine - 3), fine + 1))
