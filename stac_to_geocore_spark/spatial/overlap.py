@@ -1,28 +1,42 @@
-"""Region-region spatial join: bbox overlap via shared cell covers.
+"""Region-region spatial join: bbox overlap via shared grid-cell covers.
 
 pip.py joins points to regions; this joins REGIONS to REGIONS (collection
-footprints vs AOIs, tiles vs collections, ...). Same filter-refine shape:
+footprints vs AOIs, tiles vs collections, ...). Filter-refine shape:
 
-  covers(A, res) equi-join covers(B, res) on cell  ->  candidate pairs
+  grid_cells(A) equi-join grid_cells(B) on (gx, gy)  ->  candidate pairs
   refine: exact bbox-intersection predicate (pure JVM column math)
+  dedup:  anchor-cell rule (pure JVM) — each pair survives exactly once
 
-Completeness holds because both sides cover at the SAME res and
-cover_bbox_np is superset-guaranteed: intersecting bboxes share a point,
-that point encodes to one cell at res r, and that cell is in both covers —
-so the equi-join can never miss an intersecting pair (false candidates are
-removed by the exact refine).
+Both inputs are axis-aligned bboxes, so the candidate cells of a box under
+a uniform lon/lat grid with steps (dx, dy) are EXACTLY the floor-division
+ranges [floor(w/dx)..floor(e/dx)] x [floor(s/dy)..floor(n/dy)] — generated
+with sequence()+explode in whole-stage-codegen JVM, no Python boundary and
+no padding ring (the hex cover needed one for its superset guarantee; the
+grid ranges are already exact). Completeness: intersecting boxes share the
+reference corner p = (max(wa, wb), max(sa, sb)); p's cell is in both
+ranges, so the equi-join cannot miss a pair.
 
-Scale shape: each side shuffles (or broadcasts) only (id, cell, bbox) rows;
-the join key is the natural bucketing column, so two pre-bucketed region
-tables co-locate and the join is shuffle-free. Sides are probed with ONE
-`limit(driver_plan_max+1)` job each: a dim-sized side plans its covers
-driver-side (pure numpy, no extra jobs) and broadcasts; a side above the
-threshold plans covers DISTRIBUTED (covers_df, mapInPandas) and equi-joins
-cell-bucketed — nothing above the threshold is ever collected to the
-driver (round 2 unconditionally toPandas()'d BOTH sides).
+The anchor-cell rule makes the join output DISTINCT BY CONSTRUCTION: a
+candidate row is kept only when its (gx, gy) IS the reference corner's
+cell — one cell per pair, so no distinct()/shuffle-dedup of the candidate
+set is ever needed. (The hex-cover design duplicated each pair once per
+shared cover cell — measured 8.8x at sf1.0 — and paid a full exchange +
+hash aggregate to dedup; that was >half the query's wall time. Guide §8:
+decide with small rows / use what you know that the optimizer does not.)
+
+Scale shape: each side shuffles (or broadcasts) only (id, gx, gy, bbox)
+rows; (gx, gy) is the natural bucketing column pair, so two pre-bucketed
+region tables co-locate and the join is shuffle-free. Sides are probed
+with ONE `limit(driver_plan_max+1)` job each: a dim-sized side broadcasts
+its exploded cells; big sides equi-join cell-bucketed with a pinned
+sort-merge — nothing above the threshold is ever collected to the driver.
+Grid steps derive from ONE narrow JVM stats agg per big side (mean/max box
+extents); the old pandas-UDF res-stats pass is gone from this operator.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -138,6 +152,53 @@ def _res_for_mean_area(mean_area_rad2: float, res_min: int, res_max: int,
     return res_min
 
 
+def _grid_side_stats(df: DataFrame) -> tuple[int, float, float, float, float]:
+    """(row_count, mean_w, max_w, mean_h, max_h) of a region table in ONE
+    narrow pure-JVM aggregation. This single job replaces BOTH of the old
+    per-side jobs: the `limit(driver_plan_max+1).toPandas()` routing probe
+    AND the res-stats pass (which ran a pandas UDF over every row —
+    ArrowEvalPython over the full table, 0.78 s at sf1.0). Grid sizing
+    needs only mean/max extents, which are plain column aggregates, and
+    routing needs only the count; five scalars cross the wire."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("east") - F.col("west")).alias("mw"),
+        F.max(F.col("east") - F.col("west")).alias("xw"),
+        F.avg(F.col("north") - F.col("south")).alias("mh"),
+        F.max(F.col("north") - F.col("south")).alias("xh"),
+    ).collect()[0]
+    return (int(row["n"]),) + tuple(
+        float(v) if v is not None else 0.0
+        for v in (row["mw"], row["xw"], row["mh"], row["xh"]))
+
+
+def _grid_steps(mean_w: float, max_w: float, mean_h: float, max_h: float,
+                max_cells: int, fixed_res: int | None,
+                target_cells_per_box: float) -> tuple[float, float]:
+    """Grid steps (dx, dy) in degrees. Sized so the MEAN box covers about
+    target_cells_per_box cells (cover rows = shuffle volume; a finer grid
+    buys nothing once the exact refine is this cheap — measured at sf1.0
+    on the orders-bbox self-join: targets 0.25-1.0 are flat within noise
+    at ~2.3-2.5 s, 2.0 costs +25%, 4.0 +60%, 16.0 3x, so the default sits
+    at 0.5), floored so the LARGEST box never explodes past ~max_cells
+    cells (the explosion guard adaptive_res provided for hex covers).
+    fixed_res maps to the hex spacing of that res so existing res-pinning
+    callers keep a comparable cell size — the output is exact at ANY step,
+    so both knobs are pure performance knobs (tested invariant under res
+    choice)."""
+    from stac_to_geocore_spark.cells import h3x
+
+    if fixed_res is not None:
+        dx = dy = h3x.res_spacing(fixed_res) * (180.0 / math.pi)
+    else:
+        k = 2.0 / math.sqrt(max(0.01, target_cells_per_box))
+        dx, dy = k * mean_w, k * mean_h
+    lim = max(2.0, math.sqrt(max(1, max_cells)) - 1.0)
+    dx = max(dx, max_w / lim, 1e-12)
+    dy = max(dy, max_h / lim, 1e-12)
+    return dx, dy
+
+
 def bbox_overlap_join(
     polys_a: DataFrame,
     polys_b: DataFrame,
@@ -146,7 +207,7 @@ def bbox_overlap_join(
     max_cells: int = 2048,
     fixed_res: int | None = None,
     driver_plan_max: int = DRIVER_DIM_MAX,
-    target_cells_per_box: float = 4.0,
+    target_cells_per_box: float = 0.5,
     salt_hot_cells: bool = True,
     salt_sample_fraction: float = 0.05,
     salt_hot_multiplier: float = 8.0,
@@ -154,140 +215,163 @@ def bbox_overlap_join(
     """All (id_a, id_b) pairs whose bboxes intersect (closed-edge semantics).
 
     Both inputs: (poly_id, west, south, east, north). Sides at or below
-    driver_plan_max rows plan covers driver-side and broadcast; bigger
-    sides plan covers distributed (covers_df) and equi-join on the cell —
-    the cell is the natural bucketing column, so two pre-bucketed region
-    tables co-locate and the join is shuffle-free.
+    driver_plan_max rows broadcast their exploded grid cells; bigger sides
+    equi-join on (gx, gy) — the natural bucketing columns, so two
+    pre-bucketed region tables co-locate and the join is shuffle-free.
+
+    The whole plan is JVM column math (see the module docstring): grid
+    cells via floor/sequence/explode, the exact bbox refine, and the
+    anchor-cell rule that keeps each intersecting pair exactly once
+    (its (gx, gy) equals the reference corner's cell, which provably lies
+    in both sides' ranges) — so there is NO Python boundary, NO distinct()
+    and NO post-join dedup exchange anywhere in this operator.
 
     Both-big skew (salt_hot_cells): a hot cell — a dense urban/coastal cell
     with many cover rows on BOTH sides — makes the cell equi-join quadratic
-    in that one key on one reducer. A sampled cover histogram (5% of side
-    A's polygons, so ~5% of one cover pass) finds cells whose count exceeds
+    in that one key on one reducer. A sampled cell histogram (now over BOTH
+    sides, fraction/2 each on a two-table join — a cell hot only on the
+    dense side still salts) finds cells whose count exceeds
     salt_hot_multiplier x the mean; only those get salted (side A hashed by
     poly_id, side B's hot rows replicated per salt), splitting each hot
     cell across its salt-factor reducers — replication cost proportional to
     the skew, not the table (spatial/skew.py, the machinery pip_salted
-    uses). AQE's skew-join split remains the backstop for skew the sample
-    misses. When the histogram finds NO hot cells the join stays symmetric,
-    and a self-join (polys_a is polys_b) then builds both sides from ONE
-    cover plan whose shuffles Catalyst dedups via ReusedExchange: covers
-    are computed and exchanged once, not twice."""
-    spark = polys_a.sparkSession
+    uses). Because cell generation is now cheap column math, the histogram
+    pass costs a sampled scan plus one tiny aggregation, and the salted
+    SELF-join no longer duplicates an expensive cover computation (the
+    round-5 ReusedExchange-loss concern) — there is nothing expensive left
+    to duplicate. AQE's skew-join split remains the backstop for skew the
+    sample misses. When the histogram finds NO hot cells a self-join builds
+    both sides from ONE cell plan whose exchange Catalyst reuses
+    (ReusedExchange): cells are computed and shuffled once, not twice.
+    """
     self_join = polys_a is polys_b
-    pdf_a = polys_a.limit(driver_plan_max + 1).toPandas()
-    pdf_b = pdf_a if self_join else polys_b.limit(driver_plan_max + 1).toPandas()
-    a_small = len(pdf_a) <= driver_plan_max
-    b_small = len(pdf_b) <= driver_plan_max
+    # ONE narrow stats agg per side (a self-join measures its one input
+    # once); the agg doubles as the routing probe — no bounded toPandas()
+    # probe, no separate stats job, nothing but scalars reaches the driver
+    n_a, mean_w, max_w, mean_h, max_h = _grid_side_stats(polys_a)
+    n_b = n_a
+    if not self_join:
+        n_b, mw, xw, mh, xh = _grid_side_stats(polys_b)
+        mean_w, max_w = max(mean_w, mw), max(max_w, xw)
+        mean_h, max_h = max(mean_h, mh), max(max_h, xh)
+    a_small = n_a <= driver_plan_max
+    b_small = n_b <= driver_plan_max
+    dx, dy = _grid_steps(mean_w, max_w, mean_h, max_h,
+                         max_cells, fixed_res, target_cells_per_box)
 
-    if fixed_res is not None:
-        res = fixed_res
-    else:
-        # one res for BOTH sides (the completeness argument needs it), from
-        # two bounds: (1) cap_res — the coarsest adaptive res over all
-        # bboxes, so no single cover exceeds max_cells; (2) mean_res — the
-        # res sized to the MEAN box (~target_cells_per_box cells each),
-        # because total cover rows = shuffle volume and the finest-that-
-        # fits choice inflates tiny-box covers ~100x for zero extra
-        # selectivity (the exact refine runs on candidates either way).
-        # Take the coarser of the two: the cap can only loosen when cells
-        # grow, so max_cells still holds. A self-join measures its one
-        # input once, not per side.
-        sides = ((pdf_a, a_small, polys_a),) if self_join else (
-            (pdf_a, a_small, polys_a), (pdf_b, b_small, polys_b))
-        cap_res, mean_area = res_max, 0.0
-        for pdf, small, df in sides:
-            r, a, _med = (
-                _res_stats_pdf(pdf, res_min, res_max, max_cells)
-                if small
-                else _res_stats_distributed(df, res_min, res_max, max_cells)
+    def cells(df: DataFrame) -> DataFrame:
+        # exact covered ranges under the uniform grid: floor-division
+        # endpoints + sequence/explode, all whole-stage codegen
+        return (
+            df.select(
+                "poly_id", "west", "south", "east", "north",
+                F.explode(F.sequence(
+                    F.floor(F.col("west") / F.lit(dx)),
+                    F.floor(F.col("east") / F.lit(dx)))).alias("gx"),
+            ).select(
+                "poly_id", "west", "south", "east", "north", "gx",
+                F.explode(F.sequence(
+                    F.floor(F.col("south") / F.lit(dy)),
+                    F.floor(F.col("north") / F.lit(dy)))).alias("gy"),
             )
-            cap_res = min(cap_res, r)
-            mean_area = max(mean_area, a)
-        mean_res = _res_for_mean_area(mean_area, res_min, res_max, target_cells_per_box)
-        res = max(res_min, min(cap_res, mean_res))
-
-    def raw_cover(df: DataFrame, pdf, small: bool) -> DataFrame:
-        cov = (
-            spark.createDataFrame(covers_pdf(pdf, fixed_res=res), COVER_SCHEMA)
-            if small
-            else covers_df(df, fixed_res=res)
         )
-        return cov.select("poly_id", "cell", "west", "south", "east", "north")
 
     def tagged(cov: DataFrame, tag: str) -> DataFrame:
         return cov.select(
-            F.col("poly_id").alias(f"id_{tag}"), "cell",
+            F.col("poly_id").alias(f"id_{tag}"),
             F.col("west").alias(f"w{tag}"), F.col("south").alias(f"s{tag}"),
             F.col("east").alias(f"e{tag}"), F.col("north").alias(f"n{tag}"),
+            F.col("gx").alias(f"gx{tag}"), F.col("gy").alias(f"gy{tag}"),
         )
-
-    raw_a = raw_cover(polys_a, pdf_a, a_small)
-    raw_b = raw_a if self_join else raw_cover(polys_b, pdf_b, b_small)
 
     refine = (
         (F.col("wa") <= F.col("eb")) & (F.col("ea") >= F.col("wb"))
         & (F.col("sa") <= F.col("nb")) & (F.col("na") >= F.col("sb"))
     )
+    # exactly-once: keep the candidate only at the reference corner's cell
+    anchor = (
+        (F.col("gxa") == F.floor(F.greatest(F.col("wa"), F.col("wb")) / F.lit(dx)))
+        & (F.col("gya") == F.floor(F.greatest(F.col("sa"), F.col("sb")) / F.lit(dy)))
+    )
+    eq_keys = (F.col("gxa") == F.col("gxb")) & (F.col("gya") == F.col("gyb"))
 
     if not (a_small or b_small):
-        # BOTH sides big. Sort-merge is pinned on the cell key in every
+        # BOTH sides big. Sort-merge is pinned on the cell keys in every
         # branch below: without the hint, AQE's runtime stats can flip a
-        # multi-million-row cover side to a broadcast build and OOM the
-        # driver (observed in a vanilla 1g session at sf0.01) — and at
-        # 100 TB a broadcast of either side is never the right plan; the
-        # shuffle-on-cell co-location is.
+        # multi-million-row cell side to a broadcast build and OOM the
+        # driver — and at 100 TB a broadcast of either side is never the
+        # right plan; the shuffle-on-cell co-location is.
         salts: dict[int, int] = {}
         if salt_hot_cells:
             from stac_to_geocore_spark.spatial.skew import plan_salts
 
-            # histogram over the covers of a polygon SAMPLE (sampling before
-            # cover generation: ~5% of one cover pass, not a full extra
-            # one); hotness is count/mean, invariant to the sampling rate
-            hist_src = covers_df(
-                polys_a.sample(fraction=salt_sample_fraction, seed=42),
-                fixed_res=res,
-            )
-            salts = plan_salts(hist_src, sample_fraction=1.0,
-                               hot_multiplier=salt_hot_multiplier)
+            # histogram over the grid cells of a polygon SAMPLE — cell
+            # generation is column math, so this costs a sampled scan plus
+            # one tiny agg; hotness = count/mean is invariant to the rate.
+            # A two-table join samples BOTH sides at fraction/2 (same total
+            # cost), closing the round-5 B-side blind spot: a cell hot only
+            # on the dense side now salts too.
+            if self_join:
+                hist_src = cells(polys_a.sample(fraction=salt_sample_fraction, seed=42))
+            else:
+                frac = salt_sample_fraction / 2.0
+                hist_src = cells(polys_a.sample(fraction=frac, seed=42)).unionByName(
+                    cells(polys_b.sample(fraction=frac, seed=43)))
+            salts = plan_salts(
+                hist_src.select(F.xxhash64("gx", "gy").alias("cell")),
+                sample_fraction=1.0, hot_multiplier=salt_hot_multiplier)
         if salts:
             # the one salted-equi-join implementation (spatial/skew.py):
-            # side A plays the hashed "points" role, side B replicates
+            # side A plays the hashed "points" role, side B replicates.
+            # The salt map is keyed by xxhash64(gx, gy) — a hash collision
+            # only salts an extra cold cell (output unaffected); exactness
+            # comes from the explicit (gxa==gxb, gya==gyb) filter below,
+            # never from the hash.
             from stac_to_geocore_spark.spatial.skew import salted_cell_join
 
+            cov_a = tagged(cells(polys_a), "a").withColumn(
+                "cell", F.xxhash64("gxa", "gya"))
+            cov_b = tagged(cells(polys_a if self_join else polys_b), "b").withColumn(
+                "cell", F.xxhash64("gxb", "gyb"))
             joined = salted_cell_join(
-                tagged(raw_a, "a").hint("merge"), tagged(raw_b, "b"),
-                salts, point_id="id_a",
-            )
+                cov_a.hint("merge"), cov_b, salts, point_id="id_a",
+            ).filter(eq_keys)
         elif self_join:
-            # aliased self-join over the ONE raw cover: both SMJ inputs
+            # aliased self-join over the ONE cell plan: both SMJ inputs
             # exchange the identical subtree, so Catalyst's ReuseExchange
-            # computes + shuffles the covers once (verified: the final AQE
-            # plan shows one MapInPandas and a ReusedExchange second side)
-            lhs, rhs = raw_a.alias("A"), raw_a.alias("B")
+            # computes + shuffles the cells once, not twice
+            cov = cells(polys_a)
+            lhs, rhs = cov.alias("A"), cov.alias("B")
             return (
-                lhs.hint("merge").join(rhs, F.col("A.cell") == F.col("B.cell"))
+                lhs.hint("merge")
+                .join(rhs, (F.col("A.gx") == F.col("B.gx"))
+                      & (F.col("A.gy") == F.col("B.gy")))
                 .filter(
                     (F.col("A.west") <= F.col("B.east"))
                     & (F.col("A.east") >= F.col("B.west"))
                     & (F.col("A.south") <= F.col("B.north"))
                     & (F.col("A.north") >= F.col("B.south"))
+                    & (F.col("A.gx") == F.floor(
+                        F.greatest(F.col("A.west"), F.col("B.west")) / F.lit(dx)))
+                    & (F.col("A.gy") == F.floor(
+                        F.greatest(F.col("A.south"), F.col("B.south")) / F.lit(dy)))
                 )
                 .select(F.col("A.poly_id").alias("id_a"),
                         F.col("B.poly_id").alias("id_b"))
-                .distinct()
             )
         else:
-            joined = tagged(raw_a, "a").hint("merge").join(tagged(raw_b, "b"), "cell")
+            joined = tagged(cells(polys_a), "a").hint("merge").join(
+                tagged(cells(polys_b), "b"), eq_keys)
     else:
-        cov_a = tagged(raw_a, "a")
-        cov_b = tagged(raw_b, "b")
+        cov_a = tagged(cells(polys_a), "a")
+        cov_b = tagged(cells(polys_b), "b")
         if b_small:
             cov_b = F.broadcast(cov_b)
         else:
             cov_a = F.broadcast(cov_a)
-        joined = cov_a.join(cov_b, "cell")
+        joined = cov_a.join(cov_b, eq_keys)
 
-    return joined.filter(refine).select("id_a", "id_b").distinct()
+    return joined.filter(refine & anchor).select("id_a", "id_b")
 
 
 def bbox_overlap_join_compact(

@@ -214,8 +214,10 @@ def _scatter_boxes(spark, n, hot_fraction=0.0):
 
 
 def test_bbox_overlap_self_join_reuses_exchange(spark):
-    """Both-big SELF-join with no hot cells: the covers must be computed and
-    shuffled ONCE (ReusedExchange on the second SMJ input), not twice."""
+    """Both-big SELF-join with no hot cells: the grid cells must be computed
+    and shuffled ONCE (ReusedExchange on the second SMJ input), with NO
+    Python boundary and NO post-join dedup aggregate anywhere in the plan —
+    the anchor-cell rule makes the join output distinct by construction."""
     from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
 
     polys = _scatter_boxes(spark, 11000)
@@ -223,8 +225,12 @@ def test_bbox_overlap_self_join_reuses_exchange(spark):
     out.collect()  # the df's OWN execution -> final adaptive plan below
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # drop the pre-AQE echo
-    assert final.count("MapInPandas") == 1, final[:2000]
+    # zero Python nodes: the whole operator is JVM column math now
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in final, final[:2000]
     assert "ReusedExchange" in final
+    # no distinct(): pairs are exact-once via the anchor-cell predicate
+    assert "HashAggregate" not in final and "SortAggregate" not in final, final[:2000]
 
 
 def test_bbox_overlap_salted_hot_cells_same_result(spark):
