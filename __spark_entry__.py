@@ -461,8 +461,14 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stopword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # language/quality signal expressible identically in both engines:
-    # occurrence counts of common-word patterns via length-difference trick
-    d = _t(spark, sf_dir, "documents")
+    # occurrence counts of common-word patterns via length-difference trick.
+    # Three full replace() passes over every text are the heaviest JVM
+    # string stage in the suite; the documents table is a single row group,
+    # so without fan_out they all run on one core (measured 0.66 s -> 0.38 s
+    # at sf1.0; fan_out is a no-op on a many-split scan at scale)
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def occ(pat: str):
         return (F.length("text") - F.length(F.replace(F.col("text"), F.lit(pat)))) / len(pat)
@@ -476,18 +482,31 @@ def _q_stopword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    def norm(col: str):
+        return F.sqrt(F.aggregate(
+            F.transform(col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        # query norm computed ONCE per query row, below the join
+        norm("embedding").alias("na"),
     )
+    # vector norms below the join too (identical expression, so identical
+    # doubles): the old plan re-evaluated the interpreted higher-order
+    # norm aggregates once per (query, vector) PAIR — 3x the array work —
+    # and the single-row-group embeddings scan ran it all on one core
+    # (fan_out raises the scan to cluster parallelism; no-op at scale)
+    emb = fan_out(emb).withColumn("nb", norm("embedding"))
     dot = F.aggregate(
         F.zip_with("q_emb", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.transform("q_emb", lambda a: a.cast("double") * a.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("embedding", lambda a: a.cast("double") * a.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
-    sim = F.round(dot / (na * nb), 6)
+    sim = F.round(dot / (F.col("na") * F.col("nb")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         emb.crossJoin(F.broadcast(q))

@@ -141,26 +141,33 @@ def knn_join(
         # a thousands-deep Or-chain stalls Catalyst's recursive tree
         # transforms); beyond the cap, collapse to the single min/max
         # envelope of all query bboxes — still a correct superset filter.
+        # clause count bounded by MERGED envelopes (spatial/cover.py): a
+        # superset of the query bboxes, so the <=0.98R exactness argument
+        # is untouched, while per-clause cost on derived point columns
+        # (pushdown inlines the column arithmetic into every comparison —
+        # ~45 ms/clause on a single-split 150k-row scan) stays bounded.
         if len(bboxes) <= 64:
-            bbox_pred = None
-            for w, s, e, n in bboxes:
-                q_pred = (
-                    (F.col("p_lon") >= w) & (F.col("p_lon") <= e)
-                    & (F.col("p_lat") >= s) & (F.col("p_lat") <= n)
-                )
-                bbox_pred = q_pred if bbox_pred is None else (bbox_pred | q_pred)
+            from stac_to_geocore_spark.spatial.cover import merge_envelopes
+
+            envs = merge_envelopes(bboxes, max_k=4)
         else:
-            w = min(b[0] for b in bboxes)
-            s = min(b[1] for b in bboxes)
-            e = max(b[2] for b in bboxes)
-            n = max(b[3] for b in bboxes)
-            bbox_pred = (
+            envs = [(min(b[0] for b in bboxes), min(b[1] for b in bboxes),
+                     max(b[2] for b in bboxes), max(b[3] for b in bboxes))]
+        bbox_pred = None
+        for w, s, e, n in envs:
+            q_pred = (
                 (F.col("p_lon") >= w) & (F.col("p_lon") <= e)
                 & (F.col("p_lat") >= s) & (F.col("p_lat") <= n)
             )
+            bbox_pred = q_pred if bbox_pred is None else (bbox_pred | q_pred)
         cells_df = spark.createDataFrame(
             cell_rows, "query_id string, q_lon double, q_lat double, cell long"
         )
+        # no fan_out here (unlike pip_join): the bbox filter leaves a small
+        # candidate set, and the extra round-robin exchange+stage measured
+        # SLOWER than the single-split encode it parallelizes (1.29 s ->
+        # 1.51 s at sf1.0); at scale the filtered rows keep the scan's own
+        # partitioning, which is already parallel
         pts = base.filter(bbox_pred).withColumn(
             "cell", h3x.h3_encode(F.col("p_lat"), F.col("p_lon"), res)
         )

@@ -50,7 +50,7 @@ def pip_join(
     lat: str = "lat",
     res_min: int = 5,
     res_max: int = 9,
-    max_cells: int = 2048,
+    max_cells: int = 128,
     fixed_res: int | None = None,
     broadcast_covers: bool | None = None,
     salt_factor: int = 0,
@@ -101,19 +101,32 @@ def pip_join(
         cov_pdf = covers_pdf(cov_pdf, res_min, res_max, max_cells, fixed_res)
         covers = points.sparkSession.createDataFrame(cov_pdf, COVER_SCHEMA)
         res_rows = sorted(int(r) for r in cov_pdf["res"].unique())
-        # bbox-union pre-filter only for SMALL polygon sets: each polygon adds
-        # a 4-term OR clause, and a thousands-deep Or-chain stalls (or
-        # stack-overflows) Catalyst's recursive tree transforms — beyond the
-        # cap the cell join itself is the filter
+        # bbox-union pre-filter, built from <=4 MERGED envelopes (still a
+        # pushdown-ready range predicate; the exact cell join + refine do
+        # the fine selection). Per-box clauses were measured at ~45 ms EACH
+        # on a derived-column scan (pushdown inlines the lon/lat arithmetic
+        # into every comparison: 24 boxes cost 1.3 s of the old 2.2 s
+        # pip_assign at sf1.0); merged envelopes bound the clause count on
+        # any input. Beyond 64 boxes the O(n^2) driver merge is skipped for
+        # the single min/max envelope of all boxes (O(n) numpy) — strictly
+        # more filtering than the old no-filter fallback.
         bboxes = cov_pdf[["poly_id", "west", "south", "east", "north"]].drop_duplicates("poly_id")
-        if 0 < len(bboxes) <= 64:
+        if len(bboxes) > 0:
+            from stac_to_geocore_spark.spatial.cover import merge_envelopes
+
+            if len(bboxes) <= 64:
+                envs = merge_envelopes(
+                    bboxes[["west", "south", "east", "north"]].to_numpy(), max_k=4)
+            else:
+                envs = [(float(bboxes.west.min()), float(bboxes.south.min()),
+                         float(bboxes.east.max()), float(bboxes.north.max()))]
             # ONE expr() parse instead of ~8 py4j Column calls per bbox —
             # building the chain Column-by-Column cost ~0.6s of driver time
             # at 24 polygons (part of the r2 pip_assign regression)
             clauses = " OR ".join(
-                f"(`{lon}` >= {float(r.west)!r} AND `{lon}` <= {float(r.east)!r}"
-                f" AND `{lat}` >= {float(r.south)!r} AND `{lat}` <= {float(r.north)!r})"
-                for r in bboxes.itertuples(index=False)
+                f"(`{lon}` >= {w!r} AND `{lon}` <= {e!r}"
+                f" AND `{lat}` >= {s!r} AND `{lat}` <= {n!r})"
+                for w, s, e, n in envs
             )
             pts = pts.filter(F.expr(clauses))
     else:
@@ -137,6 +150,13 @@ def pip_join(
             f"`{lon}` {fields[lon]}, `{lat}` {fields[lat]}",
         )
 
+    # encode-parallelism guard (same rationale as covers_df): a compact or
+    # single-row-group parquet read arrives as 1-2 splits and would run the
+    # python cell encode on 1-2 cores; only ever RAISES parallelism, so a
+    # 100 TB scan with thousands of splits passes through untouched
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    pts = fan_out(pts)
     # ONE scan, one fused UDF, one join: all needed resolutions are encoded
     # in a single python pass sharing one sphere projection, exploded to
     # (res, cell) rows (x len(res_rows), narrow), and joined on (res, cell).

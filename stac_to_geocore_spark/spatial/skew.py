@@ -23,40 +23,50 @@ def plan_salts(
     sample_fraction: float = 0.05,
     hot_multiplier: float = 8.0,
     max_salt: int = 32,
+    max_hot_cells: int = 1024,
 ) -> dict[int, int]:
     """Sampled cell histogram -> {hot_cell: salt_factor}.
 
     A cell is hot when its (estimated) count exceeds hot_multiplier x the
     mean cell count; its salt factor scales with the overshoot, capped.
 
-    Only the HOT rows are ever collected: the mean comes from a two-scalar
-    aggregate and the hot filter runs server-side, so the driver transfer
-    is proportional to the skew (bounded by the hot-cell count), never to
-    the number of distinct cells — at 100 TB the full cell histogram is
-    itself a large table.
+    ONE job, nothing histogram-sized ever reaches the driver: the per-cell
+    counts roll up into a single row carrying (total, n_cells) plus the
+    candidate list — cells pre-filtered server-side by count >
+    hot_multiplier, which can never drop a true hot cell because the mean
+    over SEEN cells is >= 1, sorted hottest-first and sliced to
+    max_hot_cells so the transfer stays bounded even on a pathological
+    near-flat histogram. The exact hot test (count > hot_multiplier x
+    mean) then runs driver-side on those scalars — same arithmetic the old
+    two-job persist+broadcast plan evaluated server-side, one job and one
+    materialization fewer (the round-5 version persisted the histogram to
+    share it between the mean agg and the filter; the rollup makes the
+    sharing structural). Beyond max_hot_cells hot cells only the hottest
+    are salted — best-effort by design; AQE skew-split backstops the rest.
+    An empty input yields n_cells = 0 and the result is {}.
     """
     sample = points_with_cell.sample(fraction=sample_fraction, seed=42) if sample_fraction < 1.0 else points_with_cell
-    # ONE action: the mean rides in as a broadcast scalar row, so the hot
-    # filter runs server-side in the same job. The histogram subtree appears
-    # twice in that plan; the persist (not ReuseExchange, which a conf or a
-    # future canonicalization change could switch off) GUARANTEES the
-    # expensive upstream (e.g. a sampled cover-generation mapInPandas) runs
-    # once — the count and the mean must come from the same materialization.
-    # An empty histogram yields a NULL mean, the comparison drops every row,
-    # and the result is {}.
-    hist = sample.groupBy(cell_col).agg(F.count(F.lit(1)).alias("count")).persist()
-    try:
-        mean_col = (F.sum("count") / F.count(F.lit(1))).alias("mean")
-        hot = (
-            hist.crossJoin(F.broadcast(hist.agg(mean_col)))
-            .filter(F.col("count") > hot_multiplier * F.col("mean"))
-            .collect()
+    cand = F.when(
+        F.col("count") > F.lit(float(hot_multiplier)),
+        F.struct(F.col("count").alias("count"), F.col(cell_col).alias("cell")),
+    )
+    row = (
+        sample.groupBy(cell_col).agg(F.count(F.lit(1)).alias("count"))
+        .agg(
+            F.sum("count").alias("total"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.slice(F.sort_array(F.collect_list(cand), asc=False),
+                    1, max_hot_cells).alias("cand"),
         )
-    finally:
-        hist.unpersist()
+        .collect()[0]
+    )
+    if not row["n_cells"]:
+        return {}
+    mean = row["total"] / row["n_cells"]
     out = {}
-    for r in hot:
-        out[int(r[cell_col])] = int(min(max_salt, max(2, round(r["count"] / r["mean"] / hot_multiplier * 4))))
+    for r in row["cand"]:
+        if r["count"] > hot_multiplier * mean:
+            out[int(r["cell"])] = int(min(max_salt, max(2, round(r["count"] / mean / hot_multiplier * 4))))
     return out
 
 

@@ -151,4 +151,10 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def bpe_token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    # the merge loop is the most CPU-heavy python stage in the engine; a
+    # compact documents table read as 1-2 splits would run it on 1-2 cores
+    # (fan_out only ever raises parallelism — no-op on a real 100 TB scan)
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    df = fan_out(df.select(id_col, text_col))
     return df.select(id_col, bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"))
