@@ -179,12 +179,19 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    # group on the truncated TIMESTAMP and string-format AFTER the agg:
+    # date_format is the expensive half of the key expression, and this
+    # moves it from one call per event row to one per output group
+    # (~1000x fewer at sf1.0; measured 0.70 s -> 0.41 s, identical rows —
+    # the formatted key is a bijection of the truncated timestamp within
+    # one session timezone, so the grouping is unchanged)
     return (
-        e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "event_type",
-        )
+        e.groupBy(F.date_trunc("hour", "ts").alias("_hour_ts"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total_value"))
+        .select(
+            F.date_format("_hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type", "n", "total_value",
+        )
     )
 
 

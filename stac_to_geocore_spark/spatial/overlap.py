@@ -229,8 +229,8 @@ def bbox_overlap_join(
     Both-big skew (salt_hot_cells): a hot cell — a dense urban/coastal cell
     with many cover rows on BOTH sides — makes the cell equi-join quadratic
     in that one key on one reducer. A sampled cell histogram (now over BOTH
-    sides, fraction/2 each on a two-table join — a cell hot only on the
-    dense side still salts) finds cells whose count exceeds
+    sides of a two-table join — a cell hot only on the dense side still
+    salts) finds cells whose count exceeds
     salt_hot_multiplier x the mean; only those get salted (side A hashed by
     poly_id, side B's hot rows replicated per salt), splitting each hot
     cell across its salt-factor reducers — replication cost proportional to
@@ -308,15 +308,21 @@ def bbox_overlap_join(
             # histogram over the grid cells of a polygon SAMPLE — cell
             # generation is column math, so this costs a sampled scan plus
             # one tiny agg; hotness = count/mean is invariant to the rate.
-            # A two-table join samples BOTH sides at fraction/2 (same total
-            # cost), closing the round-5 B-side blind spot: a cell hot only
-            # on the dense side now salts too.
+            # A two-table join samples BOTH sides at the FULL fraction
+            # (cells are cheap enough that two sampled scans are noise),
+            # closing the round-5 B-side blind spot: a cell hot only on
+            # the dense side now salts too. Half-rate per-side sampling
+            # was tried first and measured UNDER-detecting: it halves a
+            # one-sided stack's count while the union mean stays ~1, so a
+            # borderline city fell below the 8x threshold (regression
+            # test: test_bbox_overlap_salts_hot_cells_on_side_b_only).
             if self_join:
                 hist_src = cells(polys_a.sample(fraction=salt_sample_fraction, seed=42))
             else:
-                frac = salt_sample_fraction / 2.0
-                hist_src = cells(polys_a.sample(fraction=frac, seed=42)).unionByName(
-                    cells(polys_b.sample(fraction=frac, seed=43)))
+                hist_src = cells(
+                    polys_a.sample(fraction=salt_sample_fraction, seed=42)
+                ).unionByName(
+                    cells(polys_b.sample(fraction=salt_sample_fraction, seed=43)))
             salts = plan_salts(
                 hist_src.select(F.xxhash64("gx", "gy").alias("cell")),
                 sample_fraction=1.0, hot_multiplier=salt_hot_multiplier)

@@ -269,6 +269,24 @@ def test_bbox_overlap_non_self_paths_match_self_join(spark):
     assert sym == ref and salted == ref and len(ref) > 0
 
 
+def test_bbox_overlap_salts_hot_cells_on_side_b_only(spark):
+    """Round-5 blind spot, closed in round 6: the salt histogram samples
+    BOTH sides of a two-table join, so a 'dense city' present ONLY on side
+    B (sparse AOIs joined against a dense footprint table) must still take
+    the salted plan — and must return exactly the unsalted join's rows."""
+    from stac_to_geocore_spark.spatial.overlap import bbox_overlap_join
+
+    polys_a = _scatter_boxes(spark, 10500)                       # uniform
+    polys_b = _scatter_boxes(spark, 10500, hot_fraction=0.02)    # hot stack
+    salted = bbox_overlap_join(polys_a, polys_b, salt_hot_cells=True)
+    s_plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "salt" in s_plan, "B-side-only hot cells must trigger salting"
+    plain = bbox_overlap_join(polys_a, polys_b, salt_hot_cells=False)
+    got_s = {(r.id_a, r.id_b) for r in salted.collect()}
+    got_p = {(r.id_a, r.id_b) for r in plain.collect()}
+    assert got_s == got_p and len(got_s) > 0
+
+
 def _mixed_boxes(spark, n, dense=False):
     """Tiny boxes plus 0.5% AOI-scale (12-16 deg) boxes; dense=True packs
     the tiny boxes into a ~5x2.5 deg window (the coarse-cell quadratic
