@@ -24,14 +24,24 @@ from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 
-def _cosine(a: str, b: str):
-    dot = F.aggregate(
+def _dot(a: str, b: str):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+
+
+def _norm(col: str):
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+
+
+# Norms are attached per ROW below each join (columns "na"/"nb") and the
+# similarity divides by the precomputed columns: the old _cosine(a, b)
+# expression re-evaluated the interpreted higher-order norm aggregates once
+# per candidate PAIR — 3x the array work, and norms dominate it. Identical
+# doubles (same expression, same inputs), so every frozen oracle holds.
+def _sim_prenormed(q_vec: str, vec_col: str):
+    return F.round(_dot(q_vec, vec_col) / (F.col("na") * F.col("nb")), 6)
 
 
 def brute_topk(
@@ -40,7 +50,11 @@ def brute_topk(
     q_id: str = "query_id", q_vec: str = "q_emb",
 ) -> DataFrame:
     """Exact cosine top-k of emb rows per query row (queries broadcast)."""
-    sim = F.round(_cosine(q_vec, vec_col), 6)
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    emb = fan_out(emb).withColumn("nb", _norm(vec_col))
+    queries = queries.withColumn("na", _norm(q_vec))
+    sim = _sim_prenormed(q_vec, vec_col)
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         emb.crossJoin(F.broadcast(queries))
@@ -110,20 +124,24 @@ def lsh_topk(
     side. At warehouse scale the bucket keys are the table's
     bucketing/partition columns, so the probe side prunes file reads
     instead of scanning."""
+    from stac_to_geocore_spark.partitioning import fan_out
+
     sig = lsh_bucket_udf(dim, n_tables, n_planes, seed)
     q_sig = lsh_probe_udf(dim, n_tables, n_planes, seed) if multi_probe else sig
-    data = emb.withColumn("bucket", F.explode(sig(F.col(vec_col))))
+    data = fan_out(emb).withColumn("nb", _norm(vec_col)).withColumn(
+        "bucket", F.explode(sig(F.col(vec_col))))
     q = (
-        queries.withColumn("bucket", F.explode(q_sig(F.col(q_vec))))
-        .select(q_id, q_vec, "bucket")
+        queries.withColumn("na", _norm(q_vec))
+        .withColumn("bucket", F.explode(q_sig(F.col(q_vec))))
+        .select(q_id, q_vec, "na", "bucket")
     )
     cand = (
         data.join(F.broadcast(q), "bucket")
         .filter(F.col(id_col) != F.col(q_id))
-        .select(q_id, q_vec, id_col, vec_col)
+        .select(q_id, q_vec, "na", id_col, vec_col, "nb")
         .distinct()
     )
-    sim = F.round(_cosine(q_vec, vec_col), 6)
+    sim = _sim_prenormed(q_vec, vec_col)
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         cand.withColumn("sim", sim)
@@ -195,12 +213,16 @@ def ivf_topk(
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     centroids = _kmeans_np(sample, n_centroids, seed)
 
-    data = emb.withColumn("ivf_cell", ivf_assign_udf(centroids, 1)(F.col(vec_col))[0])
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    data = fan_out(emb).withColumn("nb", _norm(vec_col)).withColumn(
+        "ivf_cell", ivf_assign_udf(centroids, 1)(F.col(vec_col))[0])
     q = (
-        queries.withColumn("ivf_cell", F.explode(ivf_assign_udf(centroids, n_probe)(F.col(q_vec))))
-        .select(q_id, q_vec, "ivf_cell")
+        queries.withColumn("na", _norm(q_vec))
+        .withColumn("ivf_cell", F.explode(ivf_assign_udf(centroids, n_probe)(F.col(q_vec))))
+        .select(q_id, q_vec, "na", "ivf_cell")
     )
-    sim = F.round(_cosine(q_vec, vec_col), 6)
+    sim = _sim_prenormed(q_vec, vec_col)
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         data.join(F.broadcast(q), "ivf_cell")
@@ -221,11 +243,16 @@ def embedding_dedup_pairs(
     via LSH self-join + exact verify. High-threshold near-dups collide with
     probability ~(1 - theta/pi)^n_planes per table, so a handful of tables
     suffices at 0.95+ cosine."""
+    from stac_to_geocore_spark.partitioning import fan_out
+
     sig = lsh_bucket_udf(dim, n_tables, n_planes, seed)
-    data = emb.withColumn("bucket", F.explode(sig(F.col(vec_col)))).select(id_col, vec_col, "bucket")
-    a = data.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    b = data.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
-    sim = F.round(_cosine("v_a", "v_b"), 6)
+    data = fan_out(emb).withColumn("_nrm", _norm(vec_col)).withColumn(
+        "bucket", F.explode(sig(F.col(vec_col)))).select(id_col, vec_col, "_nrm", "bucket")
+    a = data.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                    F.col("_nrm").alias("na"), "bucket")
+    b = data.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                    F.col("_nrm").alias("nb"), "bucket")
+    sim = _sim_prenormed("v_a", "v_b")
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

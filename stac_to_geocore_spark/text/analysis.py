@@ -41,7 +41,9 @@ def langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") ->
             out.append(best if scores[best] > 0 else "und")
         return pd.Series(out)
 
-    return df.withColumn(out_col, _lid(F.col(text_col)))
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    return fan_out(df).withColumn(out_col, _lid(F.col(text_col)))
 
 
 def quality_columns(text: Column) -> dict[str, Column]:
@@ -64,8 +66,10 @@ def quality_columns(text: Column) -> dict[str, Column]:
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from stac_to_geocore_spark.partitioning import fan_out
+
     cols = quality_columns(F.col(text_col))
-    out = df
+    out = fan_out(df)
     for name, c in cols.items():
         out = out.withColumn(name, c)
     # simple composite: penalize digit/punct-heavy, reward lexical diversity
@@ -122,4 +126,6 @@ def doc_fingerprint(
             out.append(np.unique(sel))
         return pd.Series(out)
 
-    return df.withColumn(out_col, _fp(F.col(text_col)))
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    return fan_out(df).withColumn(out_col, _fp(F.col(text_col)))

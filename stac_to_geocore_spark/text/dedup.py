@@ -63,7 +63,14 @@ def minhash_signatures(
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    return df.withColumn("sig", _sig(F.col(text_col)))
+    # the shingle+minhash kernel is heavy python work; a single-row-group
+    # documents scan would run it on one core — and minhash_lsh_pairs
+    # deliberately recomputes this map-only stage for each of its three
+    # consumers, tripling the starvation (fan_out no-ops on real
+    # many-split scans; see partitioning.py)
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    return fan_out(df).withColumn("sig", _sig(F.col(text_col)))
 
 
 def minhash_lsh_pairs(
@@ -187,7 +194,9 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
             out[i] = np.int64(val.astype(np.int64))
         return pd.Series(out)
 
-    return df.withColumn(out_col, _sim(F.col(text_col)))
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    return fan_out(df).withColumn(out_col, _sim(F.col(text_col)))
 
 
 def ngram_jaccard_pairs(
@@ -224,7 +233,10 @@ def ngram_jaccard_pairs(
             )
         return pd.Series(out)
 
-    grams = df.select(F.col(id_col).alias("gid"), _gram_hashes(F.col(text_col)).alias("grams"))
+    from stac_to_geocore_spark.partitioning import fan_out
+
+    grams = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("gid"), _gram_hashes(F.col(text_col)).alias("grams"))
     ga = grams.select(F.col("gid").alias("id_a"), F.col("grams").alias("g_a"))
     gb = grams.select(F.col("gid").alias("id_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
