@@ -62,7 +62,13 @@ def _fused_cells_udf(res: int, s2_level: int, _skey=None):
 def encode_stage(images: DataFrame, res: int = 7, s2_level: int = 12, zoom: int = 12) -> DataFrame:
     """Cell/tile encoding: one projection, no shuffle, one fused UDF."""
     from stac_to_geocore_spark.cells.h3x import _session_cache_key
+    from stac_to_geocore_spark.partitioning import pack_waves
 
+    # a narrow images scan often lands as 2-4 slot-counts' worth of small
+    # splits; packing them to one wave (coalesce, no exchange) halves the
+    # per-task Arrow overhead of the fused encode UDF — no-op on a big
+    # many-split table (see pack_waves)
+    images = pack_waves(images)
     enc = _fused_cells_udf(res, s2_level, _session_cache_key())
     cells = enc(F.col("lat"), F.col("lon")).alias("_cells")
     return images.select("image_id", "lon", "lat", cells).select(
