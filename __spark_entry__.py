@@ -251,18 +251,25 @@ def _replay_events_complete(spark: SparkSession, sf_dir: str, build, tag: str) -
         if base is None:
             base = os.stat(dst).st_mtime
         os.utime(dst, (base + i, base + i))
-    out = build(stream_events_from_dir(spark, src, max_files=1))
-    q = (out.writeStream.format("memory").queryName(qname)
-         .outputMode("complete").trigger(availableNow=True).start())
-    finished = q.awaitTermination(600)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"{qname}: availableNow replay did not finish in 600 s — a "
-            "partial complete-mode snapshot must never reach the oracle")
-    # the complete-mode memory sink holds the result in driver memory; the
-    # staged parquet replay files are no longer referenced
-    shutil.rmtree(tmp, ignore_errors=True)
+    # failure paths must not leak the staged chunks (or, on timeout, the
+    # half-filled memory-sink table): everything from here on cleans up in
+    # finally/except, and only the success path keeps the sink table alive
+    # for the caller
+    try:
+        out = build(stream_events_from_dir(spark, src, max_files=1))
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("complete").trigger(availableNow=True).start())
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            spark.catalog.dropTempView(qname)
+            raise TimeoutError(
+                f"{qname}: availableNow replay did not finish in 600 s — a "
+                "partial complete-mode snapshot must never reach the oracle")
+    finally:
+        # the complete-mode memory sink holds the result in driver memory;
+        # the staged parquet replay files are no longer referenced
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(qname)
 
 

@@ -78,6 +78,10 @@ AUDIO_DECODERS: dict = {}
 def register_audio_decoder(fmt: str, fn) -> None:
     """Plug a decoder fn(bytes) -> (float32 mono PCM, sample_rate) for a
     format the built-ins don't cover (mp3/flac/ogg on a cluster image)."""
+    if fmt in ("wav", "fakepcm"):
+        # dispatch checks the built-ins FIRST, so such a registration
+        # would be silently dead — fail loudly instead
+        raise ValueError(f"{fmt!r} is a built-in format and cannot be overridden")
     AUDIO_DECODERS[fmt] = fn
 
 
@@ -179,6 +183,10 @@ VIDEO_DEMUXERS: dict = {}
 def register_video_demuxer(fmt: str, fn) -> None:
     """Plug a demuxer/decoder fn(bytes) -> [frame ndarray, ...] for a video
     format the built-in toy codec doesn't cover (a cluster image's ffmpeg)."""
+    if fmt == "fakemjpg":
+        # dispatch checks the built-in FIRST, so such a registration
+        # would be silently dead — fail loudly instead
+        raise ValueError(f"{fmt!r} is a built-in format and cannot be overridden")
     VIDEO_DEMUXERS[fmt] = fn
 
 

@@ -112,7 +112,10 @@ def minhash_lsh_pairs(
     nothing here can unpersist it — a long-lived session that opts in must
     call `result._cached_signatures.unpersist()` (the handle is attached to
     the returned DataFrame) once the result is materialized, or the cached
-    blocks accumulate until the session dies.
+    blocks accumulate until the session dies. CAPTURE THE HANDLE BEFORE
+    ANY FURTHER TRANSFORMATION: select/filter/alias return a NEW DataFrame
+    without the attribute, so grab `result._cached_signatures` first (or
+    you lose the only reference and leak the cached blocks).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands

@@ -194,3 +194,20 @@ def test_registered_video_demuxer_runs_end_to_end(spark):
         assert abs(rows[1].mean_lum - 120.0) < 0.01  # frame 2 is constant 120
     finally:
         VIDEO_DEMUXERS.pop("mjpg", None)
+
+
+def test_register_rejects_builtin_format_names():
+    """A registration shadowing a built-in would be silently dead (dispatch
+    checks built-ins first) — both registries must fail loudly instead."""
+    import pytest as _pytest
+
+    from stac_to_geocore_spark.images.multimodal import (
+        register_audio_decoder,
+        register_video_demuxer,
+    )
+
+    for fmt in ("wav", "fakepcm"):
+        with _pytest.raises(ValueError, match="built-in"):
+            register_audio_decoder(fmt, lambda b: None)
+    with _pytest.raises(ValueError, match="built-in"):
+        register_video_demuxer("fakemjpg", lambda b: [])
