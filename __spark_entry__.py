@@ -255,17 +255,26 @@ def _replay_events_complete(spark: SparkSession, sf_dir: str, build, tag: str) -
     # half-filled memory-sink table): everything from here on cleans up in
     # finally/except, and only the success path keeps the sink table alive
     # for the caller
+    q = None
     try:
         out = build(stream_events_from_dir(spark, src, max_files=1))
         q = (out.writeStream.format("memory").queryName(qname)
              .outputMode("complete").trigger(availableNow=True).start())
         finished = q.awaitTermination(600)
         if not finished:
-            q.stop()
-            spark.catalog.dropTempView(qname)
             raise TimeoutError(
                 f"{qname}: availableNow replay did not finish in 600 s — a "
                 "partial complete-mode snapshot must never reach the oracle")
+    except BaseException:
+        # ANY failure (timeout, StreamingQueryException, corrupt chunk):
+        # stop the query and unregister the partial complete-mode snapshot
+        # so it can never reach the oracle via a later spark.table(qname)
+        if q is not None:
+            try:
+                q.stop()
+            finally:
+                spark.catalog.dropTempView(qname)
+        raise
     finally:
         # the complete-mode memory sink holds the result in driver memory;
         # the staged parquet replay files are no longer referenced

@@ -54,7 +54,6 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as entrymod
     from __spark_entry__ import _fixture_polygons_pdf, _orders_bbox_polys, _points_df
     from stac_to_geocore_spark.partitioning import fan_out
     from stac_to_geocore_spark.spatial.overlap import (
@@ -82,6 +81,9 @@ def main() -> None:
     dx, dy = _grid_steps(mw, xw, mh, xh, 2048, None, 0.5)
 
     def cells(df):
+        # mirrors bbox_overlap_join's internal grid-cell construction
+        # (overlap.py) so the explode phase can be timed in isolation; if
+        # the operator's cell generation changes, update this copy too
         return (
             df.select(
                 "poly_id", "west", "south", "east", "north",

@@ -38,19 +38,18 @@ COPY_AS_IS = ["region", "nation"]
 
 
 def _stride_for(col: str, src: str) -> int:
-    owner = {
-        "c_custkey": "customer", "o_custkey": "customer",
-        "s_suppkey": "supplier", "l_suppkey": "supplier",
-        "p_partkey": "part", "l_partkey": "part",
-        "o_orderkey": "orders", "l_orderkey": "orders",
-        "event_id": "events", "user_id": "events",
-        "doc_id": "documents", "vec_id": "embeddings",
+    # stride = max value + 1 of the column DEFINING the key space, read
+    # from its owner table — a foreign key must stride exactly like the
+    # primary key it references, and an independent key space (user_id)
+    # strides on its own max, not the table's row-id column
+    owner, owner_col = {
+        "c_custkey": ("customer", "c_custkey"), "o_custkey": ("customer", "c_custkey"),
+        "s_suppkey": ("supplier", "s_suppkey"), "l_suppkey": ("supplier", "s_suppkey"),
+        "p_partkey": ("part", "p_partkey"), "l_partkey": ("part", "p_partkey"),
+        "o_orderkey": ("orders", "o_orderkey"), "l_orderkey": ("orders", "o_orderkey"),
+        "event_id": ("events", "event_id"), "user_id": ("events", "user_id"),
+        "doc_id": ("documents", "doc_id"), "vec_id": ("embeddings", "vec_id"),
     }[col]
-    owner_col = {
-        "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
-        "orders": "o_orderkey", "events": "event_id",
-        "documents": "doc_id", "embeddings": "vec_id",
-    }[owner]
     t = pq.read_table(os.path.join(src, f"{owner}.parquet"), columns=[owner_col])
     colv = t.column(0)
     if pa.types.is_integer(colv.type):

@@ -26,12 +26,13 @@ decide with small rows / use what you know that the optimizer does not.)
 
 Scale shape: each side shuffles (or broadcasts) only (id, gx, gy, bbox)
 rows; (gx, gy) is the natural bucketing column pair, so two pre-bucketed
-region tables co-locate and the join is shuffle-free. Sides are probed
-with ONE `limit(driver_plan_max+1)` job each: a dim-sized side broadcasts
-its exploded cells; big sides equi-join cell-bucketed with a pinned
-sort-merge — nothing above the threshold is ever collected to the driver.
-Grid steps derive from ONE narrow JVM stats agg per big side (mean/max box
-extents); the old pandas-UDF res-stats pass is gone from this operator.
+region tables co-locate and the join is shuffle-free. Each side is
+measured with ONE narrow pure-JVM stats aggregation (count + mean/max box
+extents — five scalars) that doubles as the routing probe: a dim-sized
+side broadcasts its exploded cells; big sides equi-join cell-bucketed
+with a pinned sort-merge — nothing but scalars is ever collected to the
+driver. The old bounded `limit(driver_plan_max+1).toPandas()` probe and
+pandas-UDF res-stats pass are gone from this operator.
 """
 
 from __future__ import annotations
@@ -214,10 +215,20 @@ def bbox_overlap_join(
 ) -> DataFrame:
     """All (id_a, id_b) pairs whose bboxes intersect (closed-edge semantics).
 
-    Both inputs: (poly_id, west, south, east, north). Sides at or below
-    driver_plan_max rows broadcast their exploded grid cells; bigger sides
-    equi-join on (gx, gy) — the natural bucketing columns, so two
-    pre-bucketed region tables co-locate and the join is shuffle-free.
+    Both inputs: (poly_id, west, south, east, north). poly_id is expected
+    unique per side: the anchor-cell rule yields exactly one output row
+    per input ROW pair, so duplicated id rows produce duplicated pairs
+    (bag semantics — the pre-grid implementation's distinct() also
+    deduplicated dirty inputs as a side effect; dedup inputs first if ids
+    repeat). res_min/res_max are retained for signature compatibility with
+    the hex-cover era but are unused by the grid planner — cell size is
+    governed by target_cells_per_box / max_cells / fixed_res, and the
+    output is provably invariant to all three (tested).
+
+    Sides at or below driver_plan_max rows broadcast their exploded grid
+    cells; bigger sides equi-join on (gx, gy) — the natural bucketing
+    columns, so two pre-bucketed region tables co-locate and the join is
+    shuffle-free.
 
     The whole plan is JVM column math (see the module docstring): grid
     cells via floor/sequence/explode, the exact bbox refine, and the

@@ -30,41 +30,46 @@ def plan_salts(
     A cell is hot when its (estimated) count exceeds hot_multiplier x the
     mean cell count; its salt factor scales with the overshoot, capped.
 
-    ONE job, nothing histogram-sized ever reaches the driver: the per-cell
-    counts roll up into a single row carrying (total, n_cells) plus the
-    candidate list — cells pre-filtered server-side by count >
-    hot_multiplier, which can never drop a true hot cell because the mean
-    over SEEN cells is >= 1, sorted hottest-first and sliced to
-    max_hot_cells so the transfer stays bounded even on a pathological
-    near-flat histogram. The exact hot test (count > hot_multiplier x
-    mean) then runs driver-side on those scalars — same arithmetic the old
-    two-job persist+broadcast plan evaluated server-side, one job and one
-    materialization fewer (the round-5 version persisted the histogram to
-    share it between the mean agg and the filter; the rollup makes the
-    sharing structural). Beyond max_hot_cells hot cells only the hottest
-    are salted — best-effort by design; AQE skew-split backstops the rest.
-    An empty input yields n_cells = 0 and the result is {}.
+    ONE job with BOUNDED memory at every stage, nothing histogram-sized
+    ever reaching the driver: the per-cell counts aggregate a second time
+    over a hash-bucketed key (4 x max_hot_cells buckets), each bucket
+    keeping its (row-count, count-sum, max_by hottest cell) — every
+    aggregation hash map is capped at the bucket count, unlike a
+    collect_list of filtered candidates, whose buffer on a DENSE near-flat
+    histogram (every cell above an absolute pre-filter) would materialize
+    the whole histogram in the final reduce task. The driver sums the
+    per-bucket (n, total) back into the exact global (n_cells, total), so
+    the exact hot test (count > hot_multiplier x mean) runs driver-side on
+    <= 4 x max_hot_cells collected rows. Bucket collisions can hide a hot
+    cell behind a hotter one — salting is best-effort by design (the
+    driver gets the hottest cell of every bucket, so at most 3/4 of the
+    wanted top cells can be shadowed even adversarially); AQE skew-split
+    backstops whatever the sample or the buckets miss. max_by orders by
+    (count, cell) so ties break deterministically. An empty input yields
+    zero bucket rows and the result is {}.
     """
     sample = points_with_cell.sample(fraction=sample_fraction, seed=42) if sample_fraction < 1.0 else points_with_cell
-    cand = F.when(
-        F.col("count") > F.lit(float(hot_multiplier)),
+    n_buckets = 4 * max_hot_cells
+    top = F.max_by(
         F.struct(F.col("count").alias("count"), F.col(cell_col).alias("cell")),
-    )
-    row = (
+        F.struct(F.col("count"), F.col(cell_col)),
+    ).alias("top")
+    rows = (
         sample.groupBy(cell_col).agg(F.count(F.lit(1)).alias("count"))
-        .agg(
-            F.sum("count").alias("total"),
-            F.count(F.lit(1)).alias("n_cells"),
-            F.slice(F.sort_array(F.collect_list(cand), asc=False),
-                    1, max_hot_cells).alias("cand"),
-        )
-        .collect()[0]
+        .groupBy(F.pmod(F.xxhash64(cell_col), F.lit(n_buckets)).alias("_bkt"))
+        .agg(F.sum("count").alias("total"), F.count(F.lit(1)).alias("n_cells"), top)
+        .collect()
     )
-    if not row["n_cells"]:
+    n_cells = sum(r["n_cells"] for r in rows)
+    if not n_cells:
         return {}
-    mean = row["total"] / row["n_cells"]
+    mean = sum(r["total"] for r in rows) / n_cells
+    cand = sorted(
+        (r["top"] for r in rows),
+        key=lambda t: (-t["count"], t["cell"]),
+    )[:max_hot_cells]
     out = {}
-    for r in row["cand"]:
+    for r in cand:
         if r["count"] > hot_multiplier * mean:
             out[int(r["cell"])] = int(min(max_salt, max(2, round(r["count"] / mean / hot_multiplier * 4))))
     return out

@@ -63,3 +63,31 @@ def test_encode_stage_rows_identical_under_packing(spark):
     base = sorted(encode_stage(imgs.coalesce(1)).collect())
     packed = sorted(encode_stage(imgs.repartition(2 * p)).collect())
     assert base == packed
+
+
+def test_plan_salts_flat_dense_histogram_returns_empty(spark):
+    """Bounded-memory regression (round-6 review): a dense, near-flat
+    histogram — every cell well above any absolute threshold but none hot
+    relative to the mean — must salt nothing, and the one-job rollup only
+    ever aggregates into bucket-capped hash maps (no collect_list of the
+    whole histogram)."""
+    from pyspark.sql import functions as F
+
+    from stac_to_geocore_spark.spatial.skew import plan_salts
+
+    # 5000 cells x ~200 rows each: flat, dense
+    pts = spark.range(1_000_000).select((F.col("id") % 5000).alias("cell"))
+    assert plan_salts(pts, sample_fraction=1.0) == {}
+
+
+def test_plan_salts_one_hot_cell_among_dense_flat(spark):
+    """The hot cell must still surface through the bucketed rollup."""
+    from pyspark.sql import functions as F
+
+    from stac_to_geocore_spark.spatial.skew import plan_salts
+
+    flat = spark.range(100_000).select((F.col("id") % 1000).alias("cell"))
+    hot = spark.range(50_000).select(F.lit(7777).alias("cell"))
+    salts = plan_salts(flat.unionByName(hot), sample_fraction=1.0)
+    assert set(salts) == {7777}
+    assert 2 <= salts[7777] <= 32
